@@ -1,0 +1,31 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64 parity mode.
+
+Per SURVEY.md §4, multi-device behavior is tested on a simulated 8-device
+CPU mesh so no TPU is needed for CI; numerical parity tests run in float64
+(the reference's default precision) on CPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax  # noqa: E402
+
+# This image registers an experimental TPU-tunnel PJRT plugin ("axon") into
+# every Python process; initializing it costs a ~3-minute network handshake
+# and claims the single TPU chip. Tests are CPU-only — drop the factory so
+# backend discovery never touches it.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import waveome_tpu  # noqa: E402
+
+waveome_tpu.set_precision("float64")

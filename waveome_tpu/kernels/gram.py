@@ -1,0 +1,228 @@
+"""Gram-matrix assembly: sum over components of products of primitive grams.
+
+Replaces every ``kernel.K`` / ``K_diag`` call in the reference
+(kernels.py:19-31, :95-117; gpflow Sum/Product dispatch) with two pure
+functions over a static ``KernelSpec`` + dense raw parameter array.
+
+Two evaluation modes:
+
+* **static dispatch** (``gram``/``gram_diag``): the spec is Python-static, so
+  XLA sees only the primitives actually present — fastest single-structure
+  path, used by the batched penalized engine (all outcomes share the
+  saturated kernel).
+* **coded dispatch** (``gram_coded``/``gram_diag_coded``): structure is
+  passed as `(C, F)` int arrays and each factor is a ``lax.switch`` over op
+  codes — one compilation covers *every* candidate structure with the same
+  padded shape, so a whole greedy-search expansion step batches into a single
+  vmapped fit (replacing one L-BFGS process per candidate,
+  model_search.py:2347-2558).
+
+``component_mask`` (a length-C 0/1 vector) implements, with static shapes:
+  * pruning        (model_classes.py:1029-1079),
+  * leave-one-out feature importance (utilities.py:651-668),
+  * per-component posteriors (utilities.py:710-974).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..bijectors import softplus
+from . import ops
+from .spec import KernelSpec
+
+
+def constrain(raw):
+    """Raw (C,F,P) → constrained positive params (gpflow positive())."""
+    return softplus(raw)
+
+
+# ---------------------------------------------------------------------------
+# static dispatch
+# ---------------------------------------------------------------------------
+
+
+def gram(
+    spec: KernelSpec,
+    raw: jnp.ndarray,
+    X1: jnp.ndarray,
+    X2: Optional[jnp.ndarray] = None,
+    component_mask: Optional[jnp.ndarray] = None,
+):
+    """Full gram matrix K(X1, X2) of shape (N1, N2)."""
+    if X2 is None:
+        X2 = X1
+    params = constrain(raw)
+    spec_p = spec.padded()
+    N1, N2 = X1.shape[0], X2.shape[0]
+    total = jnp.zeros((N1, N2), dtype=X1.dtype)
+    for i, comp in enumerate(spec_p.components):
+        Kc = None
+        for j, prim in enumerate(comp):
+            if prim.op == "empty":
+                continue
+            fn = ops.GRAM_FNS[prim.code]
+            kij = fn(
+                params[i, j], X1[:, prim.dim], X2[:, prim.dim],
+                degree=prim.degree, order=prim.order,
+            )
+            Kc = kij if Kc is None else Kc * kij
+        if Kc is None:
+            continue
+        if component_mask is not None:
+            Kc = Kc * component_mask[i]
+        total = total + Kc
+    return total
+
+
+def gram_diag(
+    spec: KernelSpec,
+    raw: jnp.ndarray,
+    X: jnp.ndarray,
+    component_mask: Optional[jnp.ndarray] = None,
+):
+    """Diagonal of K(X, X), shape (N,)."""
+    params = constrain(raw)
+    spec_p = spec.padded()
+    total = jnp.zeros((X.shape[0],), dtype=X.dtype)
+    for i, comp in enumerate(spec_p.components):
+        kd = None
+        for j, prim in enumerate(comp):
+            if prim.op == "empty":
+                continue
+            fn = ops.DIAG_FNS[prim.code]
+            dij = fn(params[i, j], X[:, prim.dim],
+                     degree=prim.degree, order=prim.order)
+            kd = dij if kd is None else kd * dij
+        if kd is None:
+            continue
+        if component_mask is not None:
+            kd = kd * component_mask[i]
+        total = total + kd
+    return total
+
+
+# ---------------------------------------------------------------------------
+# coded dispatch (structure as data)
+# ---------------------------------------------------------------------------
+
+_N_OPS = len(ops.OP_NAMES)
+
+
+def _factor_gram(op, p, x1, x2, degree):
+    """lax.switch over op codes; EMPTY returns multiplicative identity."""
+    branches = []
+    for code in range(_N_OPS):
+        fn = ops.GRAM_FNS[code]
+        if code == ops.EMPTY:
+            branches.append(
+                lambda p, a, b, d: jnp.ones((a.shape[0], b.shape[0]),
+                                            dtype=a.dtype)
+            )
+        else:
+            branches.append(partial(_call_full, fn))
+    return jax.lax.switch(op, branches, p, x1, x2, degree)
+
+
+def _call_full(fn, p, a, b, d):
+    return fn(p, a, b, degree=d, order=1)
+
+
+def _factor_diag(op, p, x, degree):
+    branches = []
+    for code in range(_N_OPS):
+        fn = ops.DIAG_FNS[code]
+        if code == ops.EMPTY:
+            branches.append(lambda p, a, d: jnp.ones_like(a))
+        else:
+            branches.append(partial(_call_diag, fn))
+    return jax.lax.switch(op, branches, p, x, degree)
+
+
+def _call_diag(fn, p, a, d):
+    return fn(p, a, degree=d, order=1)
+
+
+def gram_coded(
+    coded: dict,
+    raw: jnp.ndarray,
+    X1: jnp.ndarray,
+    X2: Optional[jnp.ndarray] = None,
+    component_mask: Optional[jnp.ndarray] = None,
+):
+    """Gram with runtime structure. ``coded`` from ``KernelSpec.coded()``.
+
+    Note: arccosine order is fixed to the gpflow default (1) in coded mode.
+    """
+    if X2 is None:
+        X2 = X1
+    params = constrain(raw)
+    op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
+    C, F = op_arr.shape
+    N1, N2 = X1.shape[0], X2.shape[0]
+    total = jnp.zeros((N1, N2), dtype=X1.dtype)
+    for i in range(C):
+        Kc = jnp.ones((N1, N2), dtype=X1.dtype)
+        for j in range(F):
+            x1 = jnp.take(X1, dim_arr[i, j], axis=1)
+            x2 = jnp.take(X2, dim_arr[i, j], axis=1)
+            Kc = Kc * _factor_gram(op_arr[i, j], params[i, j], x1, x2,
+                                   deg_arr[i, j])
+        active = jnp.any(op_arr[i] != ops.EMPTY).astype(X1.dtype)
+        if component_mask is not None:
+            active = active * component_mask[i]
+        total = total + Kc * active
+    return total
+
+
+def gram_diag_coded(
+    coded: dict,
+    raw: jnp.ndarray,
+    X: jnp.ndarray,
+    component_mask: Optional[jnp.ndarray] = None,
+):
+    params = constrain(raw)
+    op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
+    C, F = op_arr.shape
+    total = jnp.zeros((X.shape[0],), dtype=X.dtype)
+    for i in range(C):
+        kd = jnp.ones((X.shape[0],), dtype=X.dtype)
+        for j in range(F):
+            x = jnp.take(X, dim_arr[i, j], axis=1)
+            kd = kd * _factor_diag(op_arr[i, j], params[i, j], x,
+                                   deg_arr[i, j])
+        active = jnp.any(op_arr[i] != ops.EMPTY).astype(X.dtype)
+        if component_mask is not None:
+            active = active * component_mask[i]
+        total = total + kd * active
+    return total
+
+
+# ---------------------------------------------------------------------------
+# variance introspection (find_variance_components parity)
+# ---------------------------------------------------------------------------
+
+
+def component_variances(spec: KernelSpec, raw: jnp.ndarray):
+    """(C,) product over factors of constrained variance params.
+
+    Matches ``find_variance_components(kern, sum_reduce=False)``
+    (utilities.py:1012-1062): product kernels multiply factor variances
+    (frozen interaction factors contribute their fixed 1.0), periodic uses
+    the base-kernel variance, empty contributes 0.
+    """
+    params = constrain(raw)
+    spec_p = spec.padded()
+    out = []
+    for i, comp in enumerate(spec_p.components):
+        v = None
+        for j, prim in enumerate(comp):
+            if prim.op == "empty":
+                continue
+            v = params[i, j, 0] if v is None else v * params[i, j, 0]
+        out.append(jnp.zeros(()) if v is None else v)
+    return jnp.stack(out).astype(raw.dtype)

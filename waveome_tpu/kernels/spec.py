@@ -1,0 +1,247 @@
+"""Static kernel structure: sum-of-products of primitives.
+
+This replaces GPflow's mutable kernel object trees (Sum/Product nesting,
+``waveome/kernels.py`` + ``gpflow.kernels``) with an immutable, hashable
+``KernelSpec``: a tuple of additive components, each a tuple of primitive
+factors. The spec is *static* metadata for XLA; all trainable state lives in
+a dense ``(C, F, P)`` raw-parameter array (C components, F factors, P param
+slots), so:
+
+  * one compiled objective serves every outcome sharing the structure
+    (→ vmap over outcomes replaces one-Ray-process-per-outcome,
+    model_search.py:250-500);
+  * pruning (model_classes.py:1029-1079) and leave-one-component-out feature
+    importance (utilities.py:614-707) become **component masks** over a
+    static graph rather than Python list surgery;
+  * search candidates padded to a common (C, F) shape batch in one vmap.
+
+Canonical naming matches the reference's load-bearing kernel-name strings
+("categorical[0]+squared_exponential[2]*categorical[1]",
+utilities.py:366-383 ``print_kernel_names``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bijectors import softplus_inv
+from ..config import default_float
+from . import ops
+
+
+@dataclasses.dataclass(frozen=True)
+class Primitive:
+    """One base-kernel factor on a single active dimension.
+
+    Mirrors the reference's one-active-dim kernels (kernels.py:17, :54, :93
+    ``active_index``). ``train_variance=False`` reproduces the frozen
+    variances of interaction factors (regularization.py:109, :132) and the
+    frozen 1e-6 Constant used as the "no structure" candidate
+    (model_search.py:2386-2389).
+    """
+
+    op: str
+    dim: int = 0
+    train_variance: bool = True
+    variance_init: float = 1.0
+    degree: float = 3.0  # polynomial only (static, untrained — kernels.py:53)
+    order: int = 1  # arccosine only (static)
+
+    @property
+    def code(self) -> int:
+        return ops.OP_CODES[self.op]
+
+    @property
+    def name(self) -> str:
+        return f"{self.op}[{self.dim}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelSpec:
+    """Sum-of-products kernel structure (immutable, hashable)."""
+
+    components: Tuple[Tuple[Primitive, ...], ...]
+
+    # -- shape --
+    @property
+    def num_components(self) -> int:
+        return len(self.components)
+
+    @property
+    def max_factors(self) -> int:
+        return max((len(c) for c in self.components), default=1)
+
+    # -- naming (reference parity: utilities.py:366-383) --
+    def component_names(self, sort_factors: bool = True) -> Tuple[str, ...]:
+        names = []
+        for comp in self.components:
+            facs = [p.name for p in comp if p.op != "empty"]
+            if not facs:
+                facs = ["empty[0]"]
+            if sort_factors:
+                facs = sorted(facs)
+            names.append("*".join(facs))
+        return tuple(names)
+
+    def name(self, sort_components: bool = False) -> str:
+        names = list(self.component_names())
+        if sort_components:
+            names = sorted(names)
+        return "+".join(names)
+
+    def canonical_name(self) -> str:
+        """Order-insensitive name for dedup (utilities.py:281-307)."""
+        return "+".join(sorted(self.component_names()))
+
+    # -- padded array views (structure-as-data) --
+    def padded(self, num_components: Optional[int] = None,
+               max_factors: Optional[int] = None) -> "KernelSpec":
+        """Pad with EMPTY primitives to a target (C, F) shape."""
+        C = num_components or self.num_components
+        F = max_factors or self.max_factors
+        comps = []
+        for comp in self.components:
+            comp = tuple(comp) + tuple(
+                Primitive("empty") for _ in range(F - len(comp))
+            )
+            comps.append(comp)
+        for _ in range(C - len(comps)):
+            comps.append(tuple(Primitive("empty") for _ in range(F)))
+        return KernelSpec(tuple(comps))
+
+    def coded(self):
+        """Export structure as integer arrays for the runtime-coded gram."""
+        spec = self.padded()
+        C, F = spec.num_components, spec.max_factors
+        op_arr = np.zeros((C, F), dtype=np.int32)
+        dim_arr = np.zeros((C, F), dtype=np.int32)
+        deg_arr = np.full((C, F), 3.0, dtype=np.float32)
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                op_arr[i, j] = p.code
+                dim_arr[i, j] = p.dim
+                deg_arr[i, j] = p.degree
+        return {
+            "ops": jnp.asarray(op_arr),
+            "dims": jnp.asarray(dim_arr),
+            "degrees": jnp.asarray(deg_arr, dtype=default_float()),
+        }
+
+    # -- parameters --
+    def init_raw_params(self, dtype=None) -> jnp.ndarray:
+        """(C, F, P) unconstrained params at gpflow-default inits (value 1.0,
+        softplus bijector), with frozen Constant placeholders at their fixed
+        variance (model_search.py:2387)."""
+        dtype = dtype or default_float()
+        spec = self.padded()
+        C, F, P = spec.num_components, spec.max_factors, ops.N_PARAM_SLOTS
+        raw = np.zeros((C, F, P), dtype=np.float64)
+        one = float(softplus_inv(1.0))
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                for s in ops.OP_PARAM_SLOTS[p.code]:
+                    raw[i, j, s] = one
+                if 0 in ops.OP_PARAM_SLOTS[p.code]:
+                    raw[i, j, 0] = float(softplus_inv(p.variance_init))
+        return jnp.asarray(raw, dtype=dtype)
+
+    def param_exists_mask(self) -> jnp.ndarray:
+        """(C, F, P) bool — slots that are real parameters."""
+        spec = self.padded()
+        C, F, P = spec.num_components, spec.max_factors, ops.N_PARAM_SLOTS
+        m = np.zeros((C, F, P), dtype=bool)
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                for s in ops.OP_PARAM_SLOTS[p.code]:
+                    m[i, j, s] = True
+        return jnp.asarray(m)
+
+    def train_mask(self) -> jnp.ndarray:
+        """(C, F, P) bool — trainable slots (frozen variances masked out)."""
+        m = np.array(self.param_exists_mask())
+        spec = self.padded()
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                if not p.train_variance:
+                    m[i, j, 0] = False
+        return jnp.asarray(m)
+
+    def variance_prior_mask(self) -> jnp.ndarray:
+        """(C, F) bool — variance params that carry the horseshoe prior.
+
+        The reference attaches the prior to every *trainable* kernel-variance
+        parameter (model_classes.py:862-864; non-trainable params do not
+        enter gpflow's log_prior_density).
+        """
+        spec = self.padded()
+        C, F = spec.num_components, spec.max_factors
+        m = np.zeros((C, F), dtype=bool)
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                if p.op != "empty" and p.train_variance and 0 in ops.OP_PARAM_SLOTS[p.code]:
+                    m[i, j] = True
+        return jnp.asarray(m)
+
+    def num_trainable_kernel_params(self) -> int:
+        return int(np.asarray(self.train_mask()).sum())
+
+    def lengthscale_mask(self) -> jnp.ndarray:
+        """(C, F) bool — factors governed by a lengthscale (slot 1), used by
+        the lengthscale-based pruning rule (utilities.py:1136-1153)."""
+        spec = self.padded()
+        C, F = spec.num_components, spec.max_factors
+        m = np.zeros((C, F), dtype=bool)
+        ls_ops = {
+            ops.SQUARED_EXPONENTIAL, ops.MATERN12, ops.MATERN32,
+            ops.MATERN52, ops.PERIODIC, ops.RATIONAL_QUADRATIC,
+        }
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                if p.code in ls_ops:
+                    m[i, j] = True
+        return jnp.asarray(m)
+
+    def active_factor_mask(self) -> jnp.ndarray:
+        """(C, F) bool — non-empty factors."""
+        spec = self.padded()
+        C, F = spec.num_components, spec.max_factors
+        m = np.zeros((C, F), dtype=bool)
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                m[i, j] = p.op != "empty"
+        return jnp.asarray(m)
+
+    # -- structure edits (host-side; produce new specs) --
+    def keep_components(self, idx: Sequence[int]) -> "KernelSpec":
+        comps = tuple(self.components[i] for i in idx)
+        if not comps:
+            comps = ((Primitive("constant", variance_init=1e-6,
+                                train_variance=False),),)
+        return KernelSpec(comps)
+
+    def add_component(self, comp: Tuple[Primitive, ...]) -> "KernelSpec":
+        return KernelSpec(tuple(self.components) + (tuple(comp),))
+
+
+def single(op: str, dim: int = 0, **kw) -> KernelSpec:
+    """Convenience: one-component, one-factor spec."""
+    return KernelSpec(((Primitive(op, dim, **kw),),))
+
+
+def from_name(name: str) -> KernelSpec:
+    """Parse a canonical kernel-name string back to a spec
+    (inverse of ``KernelSpec.name`` — the reference parses these strings with
+    regexes in plotting, model_search.py:1303-1309)."""
+    comps = []
+    for comp_str in name.split("+"):
+        facs = []
+        for fac_str in comp_str.split("*"):
+            op, _, rest = fac_str.partition("[")
+            dim = int(rest.rstrip("]")) if rest else 0
+            facs.append(Primitive(op, dim))
+        comps.append(tuple(facs))
+    return KernelSpec(tuple(comps))

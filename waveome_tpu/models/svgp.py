@@ -1,0 +1,339 @@
+"""Sparse variational GP as pure functions over a parameter pytree.
+
+TPU-native replacement for the reference's GPflow SVGP model hierarchy
+(``model_classes.py:33-1126`` — BaseGP/VarGP/SparseGP/PenalizedGP/PSVGP).
+Instead of a cooperative-inheritance object graph, a model is:
+
+  * a static ``SVGPConfig`` (kernel spec, likelihood, inducing count, flags),
+  * a parameter pytree ``params`` (kernel raw params, constant mean,
+    likelihood raw params, whitened variational (q_mu, q_sqrt), inducing Z),
+  * pure functions ``elbo`` / ``log_posterior`` / ``predict_f`` / ``predict_y``
+    that jit, grad, and vmap over outcome batches.
+
+Math follows the standard whitened SVGP equations (the same ones GPflow
+evaluates): with L = chol(Kuu), A = L⁻¹ Kuf,
+    q(f) = N(Aᵀ q_mu + m(X), Kff − AᵀA + Aᵀ S A),  S = q_sqrt q_sqrtᵀ
+    KL(q(u)‖N(0,I)) in whitened coordinates,
+    ELBO = Σₙ E_q[log p(yₙ|fₙ)] − KL.
+
+The per-component ``component_mask`` argument reproduces, with static
+shapes, the reference's structural edits: pruning
+(model_classes.py:1029-1079), leave-one-component-out importances
+(utilities.py:651-668), and sub-kernel ("marginal") component posteriors
+(utilities.py:819-834).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bijectors import softplus_inv, to_tril
+from ..config import default_float, default_jitter
+from ..kernels.gram import (
+    component_variances,
+    gram,
+    gram_coded,
+    gram_diag,
+    gram_diag_coded,
+)
+from ..kernels.spec import KernelSpec
+from ..likelihoods import Likelihood, gp_likelihood_crosswalk
+from ..priors import horseshoe_log_prob
+
+
+@dataclasses.dataclass(frozen=True)
+class SVGPConfig:
+    """Static model description (hashable; safe as a jit static argument)."""
+
+    spec: KernelSpec
+    likelihood: Likelihood
+    num_inducing: int
+    input_dim: int
+    train_inducing: bool = False
+    whiten: bool = True
+    mean_function: str = "constant"  # "constant" | "zero"
+    coded_structure: bool = False  # runtime op-code dispatch (search batching)
+
+    @property
+    def num_components(self) -> int:
+        return self.spec.padded().num_components
+
+
+def make_config(
+    spec: KernelSpec,
+    likelihood: str = "gaussian",
+    num_data: int = 0,
+    input_dim: int = 1,
+    num_inducing_points: int = 500,
+    train_inducing: bool = True,
+    coded_structure: bool = False,
+) -> SVGPConfig:
+    """Inducing-point sizing rules of SparseGP (model_classes.py:724-737):
+    if M ≥ N use all data and freeze."""
+    lik = (
+        likelihood
+        if isinstance(likelihood, Likelihood)
+        else gp_likelihood_crosswalk(likelihood)
+    )
+    M = min(num_inducing_points, num_data) if num_data else num_inducing_points
+    if num_data and num_inducing_points >= num_data:
+        train_inducing = False
+    return SVGPConfig(
+        spec=spec,
+        likelihood=lik,
+        num_inducing=M,
+        input_dim=input_dim,
+        train_inducing=train_inducing,
+        coded_structure=coded_structure,
+    )
+
+
+def init_params(
+    config: SVGPConfig,
+    X: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    dtype=None,
+):
+    """Initialise the parameter pytree.
+
+    Inducing points: all data when M == N (BaseGP, model_classes.py:98-107),
+    else a random subset (SparseGP, model_classes.py:740-754).
+    Variational: q_mu = 0, q_sqrt = I (gpflow default init).
+    """
+    dtype = dtype or default_float()
+    X = jnp.asarray(X, dtype=dtype)
+    N = X.shape[0]
+    M = config.num_inducing
+    if M >= N:
+        Z = X[:M]
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        idx = jax.random.choice(key, N, shape=(M,), replace=False)
+        Z = X[idx]
+    spec = config.spec
+    return {
+        "kernel_raw": spec.init_raw_params(dtype=dtype),
+        "mean_c": jnp.zeros((1,), dtype=dtype),
+        "lik_raw": config.likelihood.init_raw(dtype=dtype),
+        "q_mu": jnp.zeros((M, 1), dtype=dtype),
+        "q_sqrt_raw": jnp.eye(M, dtype=dtype),
+        "z": Z,
+    }
+
+
+def train_mask(config: SVGPConfig, params) -> dict:
+    """Boolean pytree of trainable entries — replaces gpflow's
+    set_trainable bookkeeping (model_classes.py:169, :774)."""
+    M = config.num_inducing
+    return {
+        "kernel_raw": config.spec.train_mask(),
+        "mean_c": jnp.ones((1,), dtype=bool)
+        if config.mean_function == "constant"
+        else jnp.zeros((1,), dtype=bool),
+        "lik_raw": jnp.ones_like(params["lik_raw"], dtype=bool),
+        "q_mu": jnp.ones_like(params["q_mu"], dtype=bool),
+        "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
+        "z": jnp.full(params["z"].shape, config.train_inducing, dtype=bool),
+    }
+
+
+def num_trainable_params(config: SVGPConfig, params) -> int:
+    m = train_mask(config, params)
+    return int(sum(np.asarray(v).sum() for v in jax.tree.leaves(m)))
+
+
+# ---------------------------------------------------------------------------
+# gram helpers honoring static/coded dispatch
+# ---------------------------------------------------------------------------
+
+
+def _K(config, params, X1, X2=None, component_mask=None, coded=None):
+    if config.coded_structure:
+        return gram_coded(coded, params["kernel_raw"], X1, X2, component_mask)
+    return gram(config.spec, params["kernel_raw"], X1, X2, component_mask)
+
+
+def _Kdiag(config, params, X, component_mask=None, coded=None):
+    if config.coded_structure:
+        return gram_diag_coded(coded, params["kernel_raw"], X, component_mask)
+    return gram_diag(config.spec, params["kernel_raw"], X, component_mask)
+
+
+def _mean(config, params, X):
+    if config.mean_function == "constant":
+        return jnp.full((X.shape[0], 1), params["mean_c"][0])
+    return jnp.zeros((X.shape[0], 1), dtype=X.dtype)
+
+
+# ---------------------------------------------------------------------------
+# core math
+# ---------------------------------------------------------------------------
+
+
+def _conditional(config, params, Xnew, component_mask=None, coded=None,
+                 full_cov: bool = False):
+    """Whitened SVGP conditional q(f(Xnew)) → (mean, var-or-cov)."""
+    Z = params["z"]
+    jitter = default_jitter()
+    Kuu = _K(config, params, Z, Z, component_mask, coded)
+    Kuu = Kuu + jitter * jnp.eye(Z.shape[0], dtype=Kuu.dtype)
+    L = jnp.linalg.cholesky(Kuu)
+    Kuf = _K(config, params, Z, Xnew, component_mask, coded)
+    A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)  # (M, N)
+
+    q_mu = params["q_mu"]
+    q_sqrt = to_tril(params["q_sqrt_raw"])
+
+    fmean = A.T @ q_mu + _mean(config, params, Xnew)
+    SA = q_sqrt.T @ A  # (M, N)
+    if full_cov:
+        Kff = _K(config, params, Xnew, Xnew, component_mask, coded)
+        fcov = Kff - A.T @ A + SA.T @ SA
+        return fmean, fcov
+    Kdiag = _Kdiag(config, params, Xnew, component_mask, coded)
+    fvar = Kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
+    return fmean, fvar[:, None]
+
+
+def kl_whitened(params):
+    """KL(q(u) ‖ N(0, I)) for whitened q with lower-tri q_sqrt."""
+    q_mu = params["q_mu"]
+    Lq = to_tril(params["q_sqrt_raw"])
+    M = q_mu.shape[0]
+    mahal = jnp.sum(q_mu ** 2)
+    trace = jnp.sum(Lq ** 2)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lq))))
+    return 0.5 * (mahal + trace - M - logdet)
+
+
+def elbo(config: SVGPConfig, params, X, Y, component_mask=None, coded=None,
+         scale: float = 1.0):
+    """Evidence lower bound (gpflow SVGP.elbo semantics;
+    model_classes.py:817-835 uses this as the MLL objective)."""
+    fmean, fvar = _conditional(config, params, X, component_mask, coded)
+    lik_p = config.likelihood.constrain(params["lik_raw"])
+    ve = config.likelihood.variational_expectations(
+        lik_p, fmean[:, 0], fvar[:, 0], Y[:, 0]
+    )
+    return scale * jnp.sum(ve) - kl_whitened(params)
+
+
+def log_prior_density(config: SVGPConfig, params,
+                      penalization_factor: float = 0.0):
+    """Horseshoe(1/λ) prior over trainable kernel variances
+    (PenalizedGP.set_penalization_factor, model_classes.py:837-864)."""
+    if penalization_factor is None:
+        return jnp.zeros((), dtype=params["kernel_raw"].dtype)
+    factor = jnp.asarray(penalization_factor,
+                         dtype=params["kernel_raw"].dtype)
+    mask = config.spec.variance_prior_mask()
+    from ..kernels.gram import constrain as _constrain
+
+    variances = _constrain(params["kernel_raw"])[..., 0]  # (C, F)
+    lp = horseshoe_log_prob(variances, 1.0 / factor)
+    total = jnp.sum(jnp.where(mask, lp, 0.0))
+    return jnp.where(factor > 0, total, 0.0)
+
+
+def log_posterior(config: SVGPConfig, params, X, Y,
+                  penalization_factor: float = 0.0,
+                  component_mask=None, coded=None, scale: float = 1.0):
+    """ELBO + prior log-density (gpflow log_posterior_density; this is what
+    the reference's training_loss minimises and what BIC consumes,
+    model_search.py:2311)."""
+    return elbo(config, params, X, Y, component_mask, coded, scale) + (
+        log_prior_density(config, params, penalization_factor)
+    )
+
+
+def training_loss(config: SVGPConfig, params, X, Y,
+                  penalization_factor: float = 0.0,
+                  component_mask=None, coded=None, scale: float = 1.0):
+    return -log_posterior(config, params, X, Y, penalization_factor,
+                          component_mask, coded, scale)
+
+
+# ---------------------------------------------------------------------------
+# prediction
+# ---------------------------------------------------------------------------
+
+
+def predict_f(config: SVGPConfig, params, Xnew, full_cov: bool = False,
+              component_mask=None, coded=None):
+    """Latent posterior at Xnew (BaseGP.predict_f, model_classes.py:526-534).
+    Inputs are cast to the parameter dtype (``__init__.py:10-24`` predict-cast
+    patch)."""
+    Xnew = jnp.asarray(Xnew, dtype=params["z"].dtype)
+    return _conditional(config, params, Xnew, component_mask, coded,
+                        full_cov=full_cov)
+
+
+def predict_y(config: SVGPConfig, params, Xnew, component_mask=None,
+              coded=None):
+    """Observation-space posterior moments (predict_y)."""
+    fmean, fvar = predict_f(config, params, Xnew,
+                            component_mask=component_mask, coded=coded)
+    lik_p = config.likelihood.constrain(params["lik_raw"])
+    ymu, yvar = config.likelihood.predict_mean_and_var(
+        lik_p, fmean[:, 0], fvar[:, 0]
+    )
+    return ymu[:, None], yvar[:, None]
+
+
+def predict_log_density(config: SVGPConfig, params, Xnew, Ynew,
+                        component_mask=None, coded=None):
+    fmean, fvar = predict_f(config, params, Xnew,
+                            component_mask=component_mask, coded=coded)
+    lik_p = config.likelihood.constrain(params["lik_raw"])
+    return config.likelihood.predict_log_density(
+        lik_p, fmean[:, 0], fvar[:, 0], jnp.asarray(Ynew)[:, 0]
+    )
+
+
+def predict_f_samples(config: SVGPConfig, params, Xnew, num_samples: int,
+                      key: jax.Array, component_mask=None, coded=None):
+    """Posterior function samples (utilities.py:822-834)."""
+    fmean, fcov = predict_f(config, params, Xnew, full_cov=True,
+                            component_mask=component_mask, coded=coded)
+    jitter = default_jitter()
+    Lc = jnp.linalg.cholesky(
+        fcov + jitter * jnp.eye(fcov.shape[0], dtype=fcov.dtype)
+    )
+    eps = jax.random.normal(key, (fcov.shape[0], num_samples),
+                            dtype=fcov.dtype)
+    return fmean + Lc @ eps  # (N, num_samples)
+
+
+# ---------------------------------------------------------------------------
+# misc parity helpers
+# ---------------------------------------------------------------------------
+
+
+def model_component_variances(config: SVGPConfig, params):
+    return component_variances(config.spec, params["kernel_raw"])
+
+
+def randomize_params(config: SVGPConfig, params, key, loc=0.0, scale=1.0):
+    """Random-restart initialisation (BaseGP.randomize_params,
+    model_classes.py:181-234): sample unconstrained values from
+    Normal(loc, scale); q_sqrt gets an Exponential(scale) diagonal."""
+    masks = train_mask(config, params)
+    keys = jax.random.split(key, 8)
+    new = dict(params)
+    for i, name in enumerate(["kernel_raw", "mean_c", "lik_raw", "q_mu"]):
+        noise = loc + scale * jax.random.normal(
+            keys[i], params[name].shape, dtype=params[name].dtype
+        )
+        new[name] = jnp.where(masks[name], noise, params[name])
+    M = config.num_inducing
+    diag = jax.random.exponential(keys[5], (M,),
+                                  dtype=params["q_sqrt_raw"].dtype) * scale
+    new["q_sqrt_raw"] = jnp.diag(diag)
+    return new
