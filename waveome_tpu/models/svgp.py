@@ -229,15 +229,23 @@ def log_prior_density(config: SVGPConfig, params,
                       penalization_factor: float = 0.0):
     """Horseshoe(1/λ) prior over trainable kernel variances
     (PenalizedGP.set_penalization_factor, model_classes.py:837-864)."""
+    dtype = params["kernel_raw"].dtype
     if penalization_factor is None:
-        return jnp.zeros((), dtype=params["kernel_raw"].dtype)
-    factor = jnp.asarray(penalization_factor,
-                         dtype=params["kernel_raw"].dtype)
+        return jnp.zeros((), dtype=dtype)
+    if isinstance(penalization_factor, (int, float)) and (
+        penalization_factor <= 0
+    ):
+        # static no-penalty path (PSVGP with penalization 0,
+        # model_search.py:2275) — avoids inf-scale NaN gradients
+        return jnp.zeros((), dtype=dtype)
+    factor = jnp.asarray(penalization_factor, dtype=dtype)
+    # safe for traced factor == 0: gate forward AND keep gradients finite
+    safe_factor = jnp.maximum(factor, jnp.asarray(1e-30, dtype=dtype))
     mask = config.spec.variance_prior_mask()
     from ..kernels.gram import constrain as _constrain
 
     variances = _constrain(params["kernel_raw"])[..., 0]  # (C, F)
-    lp = horseshoe_log_prob(variances, 1.0 / factor)
+    lp = horseshoe_log_prob(variances, 1.0 / safe_factor)
     total = jnp.sum(jnp.where(mask, lp, 0.0))
     return jnp.where(factor > 0, total, 0.0)
 

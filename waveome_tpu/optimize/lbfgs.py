@@ -1,0 +1,103 @@
+"""Vmappable L-BFGS fitter.
+
+Replaces the reference's SciPy L-BFGS-B path — the default optimizer for
+models with ≤5000 trainable parameters (``model_classes.py:299-342``, 5
+retry attempts around ``gpflow.optimizers.Scipy().minimize``) — with a pure
+JAX loop built on optax's L-BFGS + zoom line search. Because the whole fit
+is one jitted ``lax.while_loop``, it vmaps across outcomes / folds / search
+candidates and shards over a TPU mesh: the property that turns the
+reference's one-process-per-model Ray farm into a single batched XLA
+program (SURVEY.md §2.8).
+
+Frozen parameters (the reference's ``set_trainable(…, False)``) are handled
+by masking: the optimization variable is only consulted where ``mask`` is
+True, so frozen entries carry exactly zero gradient and never perturb the
+curvature pairs.
+
+NaN robustness mirrors the reference's retry/rollback semantics
+(model_classes.py:323-341): if the final loss is non-finite, the initial
+parameters are returned.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+
+class LBFGSResult(NamedTuple):
+    params: dict
+    loss: jnp.ndarray
+    num_iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def lbfgs_fit(
+    loss_fn: Callable,
+    params0,
+    mask=None,
+    max_iter: int = 500,
+    tol: float = 1e-8,
+    history: int = 10,
+    max_linesearch_steps: int = 20,
+) -> LBFGSResult:
+    """Minimize ``loss_fn(params)`` over the pytree ``params0``.
+
+    ``mask``: boolean pytree (same structure) — False entries are frozen.
+    Returns the optimized pytree, final loss, iterations and a convergence
+    flag. Jit/vmap-safe.
+    """
+    flat0, unravel = ravel_pytree(params0)
+    if mask is None:
+        mask_flat = jnp.ones_like(flat0, dtype=bool)
+    else:
+        mask_flat, _ = ravel_pytree(mask)
+
+    def f(x):
+        merged = jnp.where(mask_flat, x, flat0)
+        return loss_fn(unravel(merged))
+
+    opt = optax.lbfgs(
+        memory_size=history,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one",
+        ),
+    )
+    value_and_grad = optax.value_and_grad_from_state(f)
+
+    def step(carry):
+        x, state = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, state = opt.update(
+            grad, state, x, value=value, grad=grad, value_fn=f
+        )
+        x = optax.apply_updates(x, updates)
+        return x, state
+
+    def cond(carry):
+        _, state = carry
+        it = optax.tree_utils.tree_get(state, "count")
+        grad = optax.tree_utils.tree_get(state, "grad")
+        value = optax.tree_utils.tree_get(state, "value")
+        err = optax.tree_utils.tree_norm(grad)
+        return (it == 0) | (
+            (it < max_iter) & (err >= tol) & jnp.isfinite(value)
+        )
+
+    state0 = opt.init(flat0)
+    x_fin, state_fin = jax.lax.while_loop(cond, step, (flat0, state0))
+    final_loss = f(x_fin)
+    it = optax.tree_utils.tree_get(state_fin, "count")
+    grad = optax.tree_utils.tree_get(state_fin, "grad")
+    converged = optax.tree_utils.tree_norm(grad) < tol
+
+    # NaN rollback (model_classes.py:323-341 retry semantics)
+    bad = ~jnp.isfinite(final_loss)
+    x_out = jnp.where(bad, flat0, jnp.where(mask_flat, x_fin, flat0))
+    loss_out = jnp.where(bad, f(flat0), final_loss)
+    return LBFGSResult(unravel(x_out), loss_out, it, converged & ~bad)
