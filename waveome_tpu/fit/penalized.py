@@ -1,0 +1,193 @@
+"""The penalized (horseshoe) fit pipeline for one outcome — fully jittable.
+
+Re-implements the per-outcome worker of ``GPSearch.penalized_optimization``
+(``model_search.py:251-393``) as one pure function:
+
+  1. auto penalization factor 2·1.1·σ̂·√N·Φ⁻¹(1 − 0.1/2p)
+     (model_search.py:284-289);
+  2. L-BFGS fit of the horseshoe-penalized SVGP ELBO
+     (the reference's scipy branch, model_classes.py:299-342);
+  3. optional iterative factor re-estimation from the residual SD with
+     early exit / previous-parameter restore (model_search.py:332-375);
+  4. component pruning by variance cutoff then lengthscale rule
+     (``cut_kernel_components``, model_classes.py:1029-1079 +
+     utilities.py:1136-1184) — as masks, not structure surgery;
+  5. per-component feature importances (utilities.py:614-707).
+
+Because every step is shape-static, the whole pipeline vmaps over outcomes
+and shards across a TPU mesh — this is the Ray-farm replacement and the
+benchmark workload (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import ndtri
+
+from ..interpret.importance import feature_importance
+from ..kernels.gram import component_variances
+from ..models import svgp
+from ..optimize import lbfgs_fit, random_restart_fit
+
+
+class PenalizedFitResult(NamedTuple):
+    params: dict
+    penalization_factor: jnp.ndarray
+    component_mask: jnp.ndarray  # (C,) 0/1 after pruning
+    factor_mask: jnp.ndarray  # (C, F) 0/1 after lengthscale pruning
+    importances: jnp.ndarray  # (C+1,) incl. residual share
+    loss: jnp.ndarray
+    num_iters: jnp.ndarray
+
+
+def auto_penalization_factor(sigma_hat, n_obs, num_var_components,
+                             dtype=jnp.float64):
+    """2·1.1·σ̂·√N·Φ⁻¹(1 − 0.1/(2p)) (model_search.py:284-289)."""
+    p = jnp.asarray(num_var_components, dtype=dtype)
+    return (
+        2.0 * 1.1 * sigma_hat * jnp.sqrt(jnp.asarray(n_obs, dtype=dtype))
+        * ndtri(1.0 - 0.1 / (2.0 * p))
+    )
+
+
+def prune_masks(config, params, X, var_cutoff: float = 0.1):
+    """cut_kernel_components as masks (model_classes.py:1029-1079).
+
+    Step 1: keep components whose variance ≥ var_cutoff.
+    Step 2: within kept components, drop factors whose lengthscale exceeds
+    3× the input range of their active dim (utilities.py:1146-1153); a
+    component losing all factors disappears.
+    """
+    spec = config.spec
+    comp_var = component_variances(spec, params["kernel_raw"])
+    comp_keep = (comp_var >= var_cutoff).astype(X.dtype)
+
+    ls_mask = spec.lengthscale_mask()  # (C, F) has-lengthscale
+    active = spec.active_factor_mask()  # (C, F)
+    from ..kernels.gram import constrain
+
+    ls = constrain(params["kernel_raw"])[..., 1]  # (C, F)
+    spec_p = spec.padded()
+    C, F = spec_p.num_components, spec_p.max_factors
+    # per-factor input range of its active dim
+    ranges = jnp.ptp(X, axis=0)  # (D,)
+    dim_arr = spec_p.coded()["dims"]  # (C, F)
+    fac_range = 3.0 * ranges[dim_arr]
+    ls_keep = jnp.where(ls_mask, ls < fac_range, True)
+    factor_mask = (active & ls_keep).astype(X.dtype)
+    factor_mask = factor_mask * comp_keep[:, None]
+    component_mask = (jnp.max(factor_mask, axis=1) > 0).astype(X.dtype)
+    return component_mask, factor_mask
+
+
+def penalized_fit(
+    config,
+    params0,
+    X,
+    Y,
+    penalization_factor: Optional[float] = None,
+    num_factor_iter: int = 5,
+    num_restart: int = 0,
+    max_iter: int = 500,
+    tol: float = 1e-8,
+    var_cutoff: float = 0.1,
+    importance_type: str = "log_bf",
+    key: Optional[jax.Array] = None,
+    compute_importances: bool = True,
+) -> PenalizedFitResult:
+    """Full per-outcome penalized pipeline (jit/vmap-safe)."""
+    mask = svgp.train_mask(config, params0)
+    N = X.shape[0]
+    num_var = config.spec.num_variance_prior_params()
+    dtype = params0["kernel_raw"].dtype
+
+    auto_factor = penalization_factor is None
+    if auto_factor:
+        # σ̂ = std(Y) unless the iteration is disabled (model_search.py:279-283;
+        # pandas .std() uses ddof=1)
+        sigma_hat = (
+            jnp.std(Y, ddof=1) if num_factor_iter > 0
+            else jnp.asarray(1.0, dtype=dtype)
+        )
+        factor0 = auto_penalization_factor(sigma_hat, N, num_var, dtype)
+    else:
+        factor0 = jnp.asarray(penalization_factor, dtype=dtype)
+
+    def loss_with(factor):
+        def loss(p):
+            return svgp.training_loss(config, p, X, Y,
+                                      penalization_factor=factor)
+        return loss
+
+    def fit(p, factor):
+        if num_restart > 0:
+            def randomize(pp, k):
+                return svgp.randomize_params(config, pp, k)
+
+            best, best_loss = random_restart_fit(
+                loss_with(factor), p, randomize,
+                key if key is not None else jax.random.PRNGKey(0),
+                num_restart=num_restart, mask=mask, max_iter=max_iter,
+                tol=tol,
+            )
+            return best, best_loss, jnp.asarray(0)
+        res = lbfgs_fit(loss_with(factor), p, mask=mask, max_iter=max_iter,
+                        tol=tol)
+        return res.params, res.loss, res.num_iters
+
+    params, loss, iters = fit(params0, factor0)
+
+    if auto_factor and num_factor_iter > 0:
+        # iterative re-estimation (model_search.py:332-375)
+        def body(carry):
+            params, factor, loss, it, done = carry
+            _, yvar = svgp.predict_y(config, params, X)
+            new_sd = jnp.sqrt(jnp.mean(yvar))
+            new_factor = auto_penalization_factor(new_sd, N, num_var, dtype)
+            close = jnp.abs(new_factor - factor) <= 1e-3
+            larger = new_factor > factor
+            should_stop = close | larger
+            new_params, new_loss, _ = fit(params, new_factor)
+            # keep previous params when stopping (reference restores on
+            # larger factor; on 'close' it just breaks before refitting)
+            out_params = jax.tree.map(
+                lambda a, b: jnp.where(should_stop, a, b), params, new_params
+            )
+            out_factor = jnp.where(should_stop, factor, new_factor)
+            out_loss = jnp.where(should_stop, loss, new_loss)
+            return out_params, out_factor, out_loss, it + 1, should_stop
+
+        def cond(carry):
+            *_, it, done = carry
+            return (it < num_factor_iter) & ~done
+
+        params, factor, loss, _, _ = jax.lax.while_loop(
+            cond, body,
+            (params, factor0, loss, jnp.asarray(0), jnp.asarray(False)),
+        )
+    else:
+        factor = factor0
+
+    component_mask, factor_mask = prune_masks(config, params, X, var_cutoff)
+
+    if compute_importances:
+        importances = feature_importance(
+            config, params, X, Y, component_mask=component_mask,
+            factor_mask=factor_mask, return_value=importance_type,
+        )
+    else:
+        C = config.num_components
+        importances = jnp.zeros((C + 1,), dtype=dtype)
+
+    return PenalizedFitResult(
+        params=params,
+        penalization_factor=factor,
+        component_mask=component_mask,
+        factor_mask=factor_mask,
+        importances=importances,
+        loss=loss,
+        num_iters=iters,
+    )

@@ -52,8 +52,15 @@ def gram(
     X1: jnp.ndarray,
     X2: Optional[jnp.ndarray] = None,
     component_mask: Optional[jnp.ndarray] = None,
+    factor_mask: Optional[jnp.ndarray] = None,
 ):
-    """Full gram matrix K(X1, X2) of shape (N1, N2)."""
+    """Full gram matrix K(X1, X2) of shape (N1, N2).
+
+    ``factor_mask`` (C, F) of 0/1: a masked factor contributes the
+    multiplicative identity — this implements the reference's
+    lengthscale-based *factor* removal inside product kernels
+    (utilities.py:1156-1184) without changing shapes.
+    """
     if X2 is None:
         X2 = X1
     params = constrain(raw)
@@ -70,11 +77,16 @@ def gram(
                 params[i, j], X1[:, prim.dim], X2[:, prim.dim],
                 degree=prim.degree, order=prim.order,
             )
+            if factor_mask is not None:
+                kij = jnp.where(factor_mask[i, j] > 0, kij, 1.0)
             Kc = kij if Kc is None else Kc * kij
         if Kc is None:
             continue
         if component_mask is not None:
             Kc = Kc * component_mask[i]
+        if factor_mask is not None:
+            # a component with every factor masked contributes nothing
+            Kc = Kc * jnp.max(factor_mask[i] * spec.active_factor_mask()[i])
         total = total + Kc
     return total
 
@@ -84,6 +96,7 @@ def gram_diag(
     raw: jnp.ndarray,
     X: jnp.ndarray,
     component_mask: Optional[jnp.ndarray] = None,
+    factor_mask: Optional[jnp.ndarray] = None,
 ):
     """Diagonal of K(X, X), shape (N,)."""
     params = constrain(raw)
@@ -97,11 +110,15 @@ def gram_diag(
             fn = ops.DIAG_FNS[prim.code]
             dij = fn(params[i, j], X[:, prim.dim],
                      degree=prim.degree, order=prim.order)
+            if factor_mask is not None:
+                dij = jnp.where(factor_mask[i, j] > 0, dij, 1.0)
             kd = dij if kd is None else kd * dij
         if kd is None:
             continue
         if component_mask is not None:
             kd = kd * component_mask[i]
+        if factor_mask is not None:
+            kd = kd * jnp.max(factor_mask[i] * spec.active_factor_mask()[i])
         total = total + kd
     return total
 

@@ -88,6 +88,25 @@ def _absdist(x1, x2):
     return jnp.abs(x1[:, None] - x2[None, :])
 
 
+# Numerical safety for scale-like parameters: softplus underflows to exactly
+# 0 for very negative raw values (which gradient-free directions of L-BFGS
+# can reach on pruned components), making r/ℓ = inf and 0·inf = NaN in
+# *gradients* at perfectly finite loss values. Flooring ℓ and clipping the
+# exponent keeps both value and gradient finite without measurably changing
+# the kernel anywhere the optimizer actually lives.
+_LS_FLOOR = 1e-10
+_EXP_CLIP = 80.0
+
+
+def _safe_ls(ls):
+    return jnp.maximum(ls, _LS_FLOOR)
+
+
+def _nexp(u):
+    """exp(−u) with u clipped: exp(−80) ≈ 1.8e−35 ≈ 0, gradient-safe."""
+    return jnp.exp(-jnp.minimum(u, _EXP_CLIP))
+
+
 # --- full gram functions: (p, x1, x2) -> (N1, N2) ---
 
 
@@ -101,21 +120,22 @@ def k_constant(p, x1, x2, degree=3.0, order=1):
 
 
 def k_squared_exponential(p, x1, x2, degree=3.0, order=1):
-    return p[0] * jnp.exp(-0.5 * _sqdist(x1, x2) / (p[1] * p[1]))
+    ls = _safe_ls(p[1])
+    return p[0] * _nexp(0.5 * _sqdist(x1, x2) / (ls * ls))
 
 
 def k_matern12(p, x1, x2, degree=3.0, order=1):
-    return p[0] * jnp.exp(-_absdist(x1, x2) / p[1])
+    return p[0] * _nexp(_absdist(x1, x2) / _safe_ls(p[1]))
 
 
 def k_matern32(p, x1, x2, degree=3.0, order=1):
-    r = math.sqrt(3.0) * _absdist(x1, x2) / p[1]
-    return p[0] * (1.0 + r) * jnp.exp(-r)
+    r = math.sqrt(3.0) * _absdist(x1, x2) / _safe_ls(p[1])
+    return p[0] * (1.0 + r) * _nexp(r)
 
 
 def k_matern52(p, x1, x2, degree=3.0, order=1):
-    r = math.sqrt(5.0) * _absdist(x1, x2) / p[1]
-    return p[0] * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    r = math.sqrt(5.0) * _absdist(x1, x2) / _safe_ls(p[1])
+    return p[0] * (1.0 + r + r * r / 3.0) * _nexp(r)
 
 
 def k_linear(p, x1, x2, degree=3.0, order=1):
@@ -130,8 +150,9 @@ def k_polynomial(p, x1, x2, degree=3.0, order=1):
 
 def k_periodic(p, x1, x2, degree=3.0, order=1):
     """Periodic(SE base): σ² exp(−2 sin²(π·r/period)/ℓ²) (gpflow semantics)."""
-    s = jnp.sin(math.pi * (x1[:, None] - x2[None, :]) / p[2]) / p[1]
-    return p[0] * jnp.exp(-2.0 * s * s)
+    s = (jnp.sin(math.pi * (x1[:, None] - x2[None, :]) / _safe_ls(p[2]))
+         / _safe_ls(p[1]))
+    return p[0] * _nexp(2.0 * s * s)
 
 
 def _arccos_J(theta, order):
@@ -153,7 +174,8 @@ def k_arccosine(p, x1, x2, degree=3.0, order=1):
     d1 = w * x1 * x1 + b
     d2 = w * x2 * x2 + b
     full = w * (x1[:, None] * x2[None, :]) + b
-    cos_theta = full / jnp.sqrt(d1[:, None] * d2[None, :])
+    cos_theta = full / jnp.sqrt(jnp.maximum(d1[:, None] * d2[None, :],
+                                            1e-30))
     jitter = 1e-15
     theta = jnp.arccos(jitter + (1.0 - 2.0 * jitter) * cos_theta)
     J = _arccos_J(theta, order)
@@ -172,7 +194,8 @@ def k_categorical(p, x1, x2, degree=3.0, order=1):
 
 def k_rational_quadratic(p, x1, x2, degree=3.0, order=1):
     alpha = p[2]
-    return p[0] * (1.0 + _sqdist(x1, x2) / (2.0 * alpha * p[1] * p[1])) ** (
+    ls = _safe_ls(p[1])
+    return p[0] * (1.0 + _sqdist(x1, x2) / (2.0 * alpha * ls * ls)) ** (
         -alpha
     )
 

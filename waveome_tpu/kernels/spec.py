@@ -149,8 +149,7 @@ class KernelSpec:
                     raw[i, j, 0] = float(softplus_inv(p.variance_init))
         return jnp.asarray(raw, dtype=dtype)
 
-    def param_exists_mask(self) -> jnp.ndarray:
-        """(C, F, P) bool — slots that are real parameters."""
+    def _param_exists_np(self) -> np.ndarray:
         spec = self.padded()
         C, F, P = spec.num_components, spec.max_factors, ops.N_PARAM_SLOTS
         m = np.zeros((C, F, P), dtype=bool)
@@ -158,17 +157,36 @@ class KernelSpec:
             for j, p in enumerate(comp):
                 for s in ops.OP_PARAM_SLOTS[p.code]:
                     m[i, j, s] = True
-        return jnp.asarray(m)
+        return m
+
+    def param_exists_mask(self) -> jnp.ndarray:
+        """(C, F, P) bool — slots that are real parameters."""
+        return jnp.asarray(self._param_exists_np())
 
     def train_mask(self) -> jnp.ndarray:
-        """(C, F, P) bool — trainable slots (frozen variances masked out)."""
-        m = np.array(self.param_exists_mask())
+        """(C, F, P) bool — trainable slots (frozen variances masked out).
+
+        Computed in pure numpy (static metadata) — these helpers are called
+        inside jit traces, where jnp constants become tracers in JAX ≥0.9.
+        """
+        m = self._param_exists_np()
         spec = self.padded()
         for i, comp in enumerate(spec.components):
             for j, p in enumerate(comp):
                 if not p.train_variance:
                     m[i, j, 0] = False
         return jnp.asarray(m)
+
+    def _variance_prior_np(self) -> np.ndarray:
+        spec = self.padded()
+        C, F = spec.num_components, spec.max_factors
+        m = np.zeros((C, F), dtype=bool)
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                if (p.op != "empty" and p.train_variance
+                        and 0 in ops.OP_PARAM_SLOTS[p.code]):
+                    m[i, j] = True
+        return m
 
     def variance_prior_mask(self) -> jnp.ndarray:
         """(C, F) bool — variance params that carry the horseshoe prior.
@@ -177,17 +195,21 @@ class KernelSpec:
         parameter (model_classes.py:862-864; non-trainable params do not
         enter gpflow's log_prior_density).
         """
-        spec = self.padded()
-        C, F = spec.num_components, spec.max_factors
-        m = np.zeros((C, F), dtype=bool)
-        for i, comp in enumerate(spec.components):
-            for j, p in enumerate(comp):
-                if p.op != "empty" and p.train_variance and 0 in ops.OP_PARAM_SLOTS[p.code]:
-                    m[i, j] = True
-        return jnp.asarray(m)
+        return jnp.asarray(self._variance_prior_np())
+
+    def num_variance_prior_params(self) -> int:
+        """Static count of horseshoe-carrying variance params (the 'p' of
+        the auto penalization factor, model_search.py:274-276)."""
+        return int(self._variance_prior_np().sum())
 
     def num_trainable_kernel_params(self) -> int:
-        return int(np.asarray(self.train_mask()).sum())
+        m = self._param_exists_np()
+        spec = self.padded()
+        for i, comp in enumerate(spec.components):
+            for j, p in enumerate(comp):
+                if not p.train_variance:
+                    m[i, j, 0] = False
+        return int(m.sum())
 
     def lengthscale_mask(self) -> jnp.ndarray:
         """(C, F) bool — factors governed by a lengthscale (slot 1), used by

@@ -48,6 +48,12 @@ def gauss_hermite_logspace(log_fn, Fmu, Fvar):
     return logsumexp(log_fn(f) + logw, axis=-1)
 
 
+def _safe_exp(F):
+    """exp with clipped argument — exp-link means stay finite (and their
+    gradients too) when a line-search probes extreme latent values."""
+    return jnp.exp(jnp.clip(F, -80.0, 80.0))
+
+
 def nb_log_prob(m, Y, alpha):
     """NB log-pmf parameterised by mean m and dispersion alpha
     (likelihoods.py:68-79)."""
@@ -167,17 +173,17 @@ def _g_pld(p, Fmu, Fvar, Y):
 
 # Poisson (exp link, binsize 1)
 def _p_logp(p, F, Y):
-    m = jnp.exp(F)
+    m = _safe_exp(F)
     return Y * F - m - gammaln(Y + 1.0)
 
 
 def _p_ve(p, Fmu, Fvar, Y):
-    return Y * Fmu - jnp.exp(Fmu + Fvar / 2.0) - gammaln(Y + 1.0)
+    return Y * Fmu - _safe_exp(Fmu + Fvar / 2.0) - gammaln(Y + 1.0)
 
 
 def _p_pmv(p, Fmu, Fvar):
-    m = jnp.exp(Fmu + Fvar / 2.0)
-    return m, m + m ** 2 * (jnp.exp(Fvar) - 1.0)
+    m = _safe_exp(Fmu + Fvar / 2.0)
+    return m, m + m ** 2 * (jnp.exp(jnp.clip(Fvar, -80.0, 80.0)) - 1.0)
 
 
 # Bernoulli (probit link — gpflow default)
@@ -198,7 +204,7 @@ def _b_pld(p, Fmu, Fvar, Y):
 
 # Gamma (exp link; shape param)
 def _gam_logp(p, F, Y):
-    scale = jnp.exp(F)
+    scale = _safe_exp(F)
     return (
         -p[0] * F - gammaln(p[0]) + (p[0] - 1.0) * jnp.log(Y) - Y / scale
     )
@@ -209,7 +215,7 @@ def _gam_ve(p, Fmu, Fvar, Y):
         -p[0] * Fmu
         - gammaln(p[0])
         + (p[0] - 1.0) * jnp.log(Y)
-        - Y * jnp.exp(-Fmu + Fvar / 2.0)
+        - Y * _safe_exp(-Fmu + Fvar / 2.0)
     )
 
 
@@ -223,29 +229,29 @@ def _gam_pmv(p, Fmu, Fvar):
 
 # Exponential (exp link)
 def _e_logp(p, F, Y):
-    return -F - Y * jnp.exp(-F)
+    return -F - Y * _safe_exp(-F)
 
 
 def _e_ve(p, Fmu, Fvar, Y):
-    return -Fmu - Y * jnp.exp(-Fmu + Fvar / 2.0)
+    return -Fmu - Y * _safe_exp(-Fmu + Fvar / 2.0)
 
 
 # Negative binomial
 def _nb_logp(p, F, Y):
-    return nb_log_prob(jnp.exp(F), Y, p[0])
+    return nb_log_prob(_safe_exp(F), Y, p[0])
 
 
 def _nb_pmv(p, Fmu, Fvar):
     """Plug-in moments at Fmu — matches the reference's override
     (likelihoods.py:48-51), which ignores Fvar."""
-    m = jnp.exp(Fmu)
+    m = _safe_exp(Fmu)
     return m, m + m ** 2 * p[0]
 
 
 # Zero-inflated negative binomial (likelihoods.py:96-139)
 def _zinb_logp(p, F, Y):
     alpha, km = p[0], p[1]
-    m = jnp.exp(F)
+    m = _safe_exp(F)
     psi = 1.0 - m / (km + m)
     nb_zero = -jnp.log1p(m * alpha) / alpha
     log_p_zero = jnp.logaddexp(jnp.log(psi), jnp.log1p(-psi) + nb_zero)
@@ -255,14 +261,14 @@ def _zinb_logp(p, F, Y):
 
 def _zinb_mean(p, F):
     alpha, km = p[0], p[1]
-    m = jnp.exp(F)
+    m = _safe_exp(F)
     psi = 1.0 - m / (km + m)
     return m * (1.0 - psi)
 
 
 def _zinb_var(p, F):
     alpha, km = p[0], p[1]
-    m = jnp.exp(F)
+    m = _safe_exp(F)
     psi = 1.0 - m / (km + m)
     return m * (1.0 - psi) * (1.0 + m * (psi + alpha))
 
@@ -279,21 +285,21 @@ _LOG_PROB = {
 
 _COND_MEAN = {
     "gaussian": lambda p, F: F,
-    "poisson": lambda p, F: jnp.exp(F),
+    "poisson": lambda p, F: _safe_exp(F),
     "bernoulli": lambda p, F: jnorm.cdf(F),
-    "gamma": lambda p, F: p[0] * jnp.exp(F),
-    "exponential": lambda p, F: jnp.exp(F),
-    "negative_binomial": lambda p, F: jnp.exp(F),
+    "gamma": lambda p, F: p[0] * _safe_exp(F),
+    "exponential": lambda p, F: _safe_exp(F),
+    "negative_binomial": lambda p, F: _safe_exp(F),
     "zeroinflated_negativebinomial": _zinb_mean,
 }
 
 _COND_VAR = {
     "gaussian": lambda p, F: jnp.full_like(F, p[0]),
-    "poisson": lambda p, F: jnp.exp(F),
+    "poisson": lambda p, F: _safe_exp(F),
     "bernoulli": lambda p, F: jnorm.cdf(F) - jnorm.cdf(F) ** 2,
-    "gamma": lambda p, F: p[0] * jnp.exp(F) ** 2,
-    "exponential": lambda p, F: jnp.exp(F) ** 2,
-    "negative_binomial": lambda p, F: jnp.exp(F) + jnp.exp(F) ** 2 * p[0],
+    "gamma": lambda p, F: p[0] * _safe_exp(F) ** 2,
+    "exponential": lambda p, F: _safe_exp(F) ** 2,
+    "negative_binomial": lambda p, F: _safe_exp(F) + _safe_exp(F) ** 2 * p[0],
     "zeroinflated_negativebinomial": _zinb_var,
 }
 

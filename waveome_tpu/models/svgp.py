@@ -154,16 +154,20 @@ def num_trainable_params(config: SVGPConfig, params) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _K(config, params, X1, X2=None, component_mask=None, coded=None):
+def _K(config, params, X1, X2=None, component_mask=None, coded=None,
+       factor_mask=None):
     if config.coded_structure:
         return gram_coded(coded, params["kernel_raw"], X1, X2, component_mask)
-    return gram(config.spec, params["kernel_raw"], X1, X2, component_mask)
+    return gram(config.spec, params["kernel_raw"], X1, X2, component_mask,
+                factor_mask)
 
 
-def _Kdiag(config, params, X, component_mask=None, coded=None):
+def _Kdiag(config, params, X, component_mask=None, coded=None,
+           factor_mask=None):
     if config.coded_structure:
         return gram_diag_coded(coded, params["kernel_raw"], X, component_mask)
-    return gram_diag(config.spec, params["kernel_raw"], X, component_mask)
+    return gram_diag(config.spec, params["kernel_raw"], X, component_mask,
+                     factor_mask)
 
 
 def _mean(config, params, X):
@@ -178,14 +182,14 @@ def _mean(config, params, X):
 
 
 def _conditional(config, params, Xnew, component_mask=None, coded=None,
-                 full_cov: bool = False):
+                 full_cov: bool = False, factor_mask=None):
     """Whitened SVGP conditional q(f(Xnew)) → (mean, var-or-cov)."""
     Z = params["z"]
     jitter = default_jitter()
-    Kuu = _K(config, params, Z, Z, component_mask, coded)
+    Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
     Kuu = Kuu + jitter * jnp.eye(Z.shape[0], dtype=Kuu.dtype)
     L = jnp.linalg.cholesky(Kuu)
-    Kuf = _K(config, params, Z, Xnew, component_mask, coded)
+    Kuf = _K(config, params, Z, Xnew, component_mask, coded, factor_mask)
     A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)  # (M, N)
 
     q_mu = params["q_mu"]
@@ -194,10 +198,11 @@ def _conditional(config, params, Xnew, component_mask=None, coded=None,
     fmean = A.T @ q_mu + _mean(config, params, Xnew)
     SA = q_sqrt.T @ A  # (M, N)
     if full_cov:
-        Kff = _K(config, params, Xnew, Xnew, component_mask, coded)
+        Kff = _K(config, params, Xnew, Xnew, component_mask, coded,
+                 factor_mask)
         fcov = Kff - A.T @ A + SA.T @ SA
         return fmean, fcov
-    Kdiag = _Kdiag(config, params, Xnew, component_mask, coded)
+    Kdiag = _Kdiag(config, params, Xnew, component_mask, coded, factor_mask)
     fvar = Kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
     return fmean, fvar[:, None]
 
@@ -209,15 +214,19 @@ def kl_whitened(params):
     M = q_mu.shape[0]
     mahal = jnp.sum(q_mu ** 2)
     trace = jnp.sum(Lq ** 2)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lq))))
+    # |diag| floored: a zero-crossing diagonal during line search must give
+    # a large-but-finite KL with finite gradient, not ±inf
+    diag = jnp.maximum(jnp.abs(jnp.diag(Lq)), 1e-150)
+    logdet = 2.0 * jnp.sum(jnp.log(diag))
     return 0.5 * (mahal + trace - M - logdet)
 
 
 def elbo(config: SVGPConfig, params, X, Y, component_mask=None, coded=None,
-         scale: float = 1.0):
+         scale: float = 1.0, factor_mask=None):
     """Evidence lower bound (gpflow SVGP.elbo semantics;
     model_classes.py:817-835 uses this as the MLL objective)."""
-    fmean, fvar = _conditional(config, params, X, component_mask, coded)
+    fmean, fvar = _conditional(config, params, X, component_mask, coded,
+                               factor_mask=factor_mask)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     ve = config.likelihood.variational_expectations(
         lik_p, fmean[:, 0], fvar[:, 0], Y[:, 0]
@@ -274,20 +283,21 @@ def training_loss(config: SVGPConfig, params, X, Y,
 
 
 def predict_f(config: SVGPConfig, params, Xnew, full_cov: bool = False,
-              component_mask=None, coded=None):
+              component_mask=None, coded=None, factor_mask=None):
     """Latent posterior at Xnew (BaseGP.predict_f, model_classes.py:526-534).
     Inputs are cast to the parameter dtype (``__init__.py:10-24`` predict-cast
     patch)."""
     Xnew = jnp.asarray(Xnew, dtype=params["z"].dtype)
     return _conditional(config, params, Xnew, component_mask, coded,
-                        full_cov=full_cov)
+                        full_cov=full_cov, factor_mask=factor_mask)
 
 
 def predict_y(config: SVGPConfig, params, Xnew, component_mask=None,
-              coded=None):
+              coded=None, factor_mask=None):
     """Observation-space posterior moments (predict_y)."""
     fmean, fvar = predict_f(config, params, Xnew,
-                            component_mask=component_mask, coded=coded)
+                            component_mask=component_mask, coded=coded,
+                            factor_mask=factor_mask)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     ymu, yvar = config.likelihood.predict_mean_and_var(
         lik_p, fmean[:, 0], fvar[:, 0]
@@ -296,9 +306,10 @@ def predict_y(config: SVGPConfig, params, Xnew, component_mask=None,
 
 
 def predict_log_density(config: SVGPConfig, params, Xnew, Ynew,
-                        component_mask=None, coded=None):
+                        component_mask=None, coded=None, factor_mask=None):
     fmean, fvar = predict_f(config, params, Xnew,
-                            component_mask=component_mask, coded=coded)
+                            component_mask=component_mask, coded=coded,
+                            factor_mask=factor_mask)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     return config.likelihood.predict_log_density(
         lik_p, fmean[:, 0], fvar[:, 0], jnp.asarray(Ynew)[:, 0]

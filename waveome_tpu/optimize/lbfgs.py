@@ -57,9 +57,17 @@ def lbfgs_fit(
     else:
         mask_flat, _ = ravel_pytree(mask)
 
+    # Non-finite trial values (e.g. a full −∇ first step blowing up the
+    # Cholesky) are mapped to a huge finite penalty so the zoom line search
+    # backtracks instead of accepting a NaN point — the JAX-native analogue
+    # of the reference's catch-and-retry around scipy L-BFGS-B
+    # (model_classes.py:323-341).
+    big = jnp.asarray(1e15, dtype=flat0.dtype)
+
     def f(x):
         merged = jnp.where(mask_flat, x, flat0)
-        return loss_fn(unravel(merged))
+        v = loss_fn(unravel(merged))
+        return jnp.where(jnp.isfinite(v), v, big)
 
     opt = optax.lbfgs(
         memory_size=history,

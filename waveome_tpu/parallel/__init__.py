@@ -1,0 +1,17 @@
+from .mesh import (
+    OUTCOME_AXIS,
+    outcome_mesh,
+    pad_batch,
+    process_partition,
+    replicate,
+    shard_leading_axis,
+)
+
+__all__ = [
+    "OUTCOME_AXIS",
+    "outcome_mesh",
+    "pad_batch",
+    "process_partition",
+    "replicate",
+    "shard_leading_axis",
+]

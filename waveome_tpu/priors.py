@@ -33,16 +33,32 @@ def horseshoe_log_prob(x, scale):
     """
     x = jnp.asarray(x)
     scale = jnp.asarray(scale, dtype=x.dtype)
-    xx = (x / scale) ** 2 / 2.0
-    q = 20.0 / 47.0 * xx ** 1.0919284281983377
-    h = 1.0 / (1.0 + xx ** 1.5) + _H_INF * q / (1.0 + q)
-    c = -0.5 * math.log(2.0 * math.pi ** 3) - jnp.log(_G * scale)
-    z = math.log1p(-_G) - math.log(_G)
-    return (
-        -nn.softplus(z - xx / (1.0 - _G))
-        + jnp.log(jnp.log1p(_G / xx - (1.0 - _G) / (h + _B * xx) ** 2))
-        + c
-    )
+    xx_raw = (x / scale) ** 2 / 2.0
+
+    # The horseshoe density has a (log-log) spike at 0. Once the optimizer
+    # shrinks a variance hard, xx underflows and ∂/∂xx of the formula
+    # overflows (g/xx² → inf), so clamping alone still yields NaN
+    # *gradients* via inf·0. Double-where: evaluate the formula at a benign
+    # point where xx is tiny, and splice in the (constant, zero-gradient)
+    # value at the clamp instead.
+    tiny = 1e-60 if x.dtype == jnp.float64 else 1e-12
+    bad = xx_raw < tiny
+    xx = jnp.where(bad, jnp.ones_like(xx_raw), xx_raw)
+
+    def formula(xx):
+        q = 20.0 / 47.0 * xx ** 1.0919284281983377
+        h = 1.0 / (1.0 + xx ** 1.5) + _H_INF * q / (1.0 + q)
+        c = -0.5 * math.log(2.0 * math.pi ** 3) - jnp.log(_G * scale)
+        z = math.log1p(-_G) - math.log(_G)
+        return (
+            -nn.softplus(z - xx / (1.0 - _G))
+            + jnp.log(jnp.log1p(_G / xx - (1.0 - _G) / (h + _B * xx) ** 2))
+            + c
+        )
+
+    lp_good = formula(xx)
+    lp_clamped = formula(jnp.full_like(xx_raw, tiny))  # constant w.r.t. x
+    return jnp.where(bad, lp_clamped, lp_good)
 
 
 def laplace_log_prob(x, loc, scale):
