@@ -26,6 +26,12 @@ _xb._backend_factories.pop("axon", None)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the vmapped L-BFGS programs dominate test
+# wall time; caching them makes re-runs fast
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import waveome_tpu  # noqa: E402
 
 waveome_tpu.set_precision("float64")

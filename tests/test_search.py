@@ -1,0 +1,155 @@
+"""Greedy kernel-search tests: candidate generation rules, batched
+candidate fitting, dedup, beam pruning, and end-to-end structure recovery
+(the simulation-recovery strategy of kernel_learning/simulation_test.py).
+"""
+
+import numpy as np
+import pytest
+
+from waveome_tpu.kernels.spec import KernelSpec, Primitive
+from waveome_tpu.search import (
+    fit_candidates,
+    full_kernel_search,
+    generate_candidates,
+    keep_top_k,
+    make_folds,
+)
+from waveome_tpu.utilities import check_if_model_exists
+
+
+def test_generate_candidates_depth1():
+    cands = generate_candidates(
+        X_dim=3, kern_list=["squared_exponential", "linear"],
+        cat_vars=[0], depth=1,
+    )
+    names = [n for n, _ in cands]
+    assert "constant" in names
+    assert "categorical[0]" in names
+    assert "squared_exponential[1]" in names
+    assert "linear[2]" in names
+    # cat feature only gets categorical
+    assert "squared_exponential[0]" not in names
+
+
+def test_generate_candidates_sum_and_product_rules():
+    base = KernelSpec(((Primitive("categorical", 0),),))
+    # sum expansion skips the categorical feature already present
+    cands = generate_candidates(
+        X_dim=2, kern_list=["squared_exponential"], cat_vars=[0], depth=2,
+        base=base, base_name="categorical[0]", operation="sum",
+    )
+    names = [n for n, _ in cands]
+    assert names == ["categorical[0]+squared_exponential[1]"]
+
+    # product: frozen new-factor variance, two-way only
+    cands = generate_candidates(
+        X_dim=2, kern_list=["squared_exponential"], cat_vars=[0], depth=2,
+        base=base, base_name="categorical[0]", operation="product",
+    )
+    assert cands[0][0] == "categorical[0]*squared_exponential[1]"
+    spec = cands[0][1]
+    frozen = [p.train_variance for p in spec.components[0]]
+    assert frozen.count(False) == 1
+    # a product base is not extended again (two-way only)
+    cands = generate_candidates(
+        X_dim=2, kern_list=["squared_exponential"], cat_vars=[0], depth=3,
+        base=spec, base_name=cands[0][0], operation="product",
+    )
+    assert cands == []
+
+
+def test_dedup_order_insensitive():
+    assert check_if_model_exists(
+        "categorical[0]+squared_exponential[1]",
+        ["squared_exponential[1]+categorical[0]"],
+    )
+    assert not check_if_model_exists(
+        "categorical[0]*squared_exponential[1]",
+        ["categorical[0]+squared_exponential[1]"],
+    )
+
+
+def test_keep_top_k_flags():
+    d = {
+        "a": {"bic": 10.0, "depth": 1, "try_next": True},
+        "b": {"bic": 13.0, "depth": 1, "try_next": True},
+        "c": {"bic": 20.0, "depth": 1, "try_next": True},
+    }
+    keep_top_k(d, depth=1, metric_diff=6.0)
+    assert d["a"]["try_next"] and d["b"]["try_next"]
+    assert not d["c"]["try_next"]
+
+
+def test_make_folds_unit_aware():
+    X = np.column_stack([
+        np.repeat(np.arange(10), 3), np.random.default_rng(0).normal(size=30)
+    ])
+    folds = make_folds(X, unit_col=0, k_fold=5, random_seed=1)
+    assert len(folds) == 5
+    all_idx = np.concatenate(folds)
+    assert sorted(all_idx.tolist()) == list(range(30))
+    for f in folds:
+        units = np.unique(X[f, 0])
+        others = np.concatenate([g for g in folds if g is not f])
+        assert not np.intersect1d(units, np.unique(X[others, 0])).size
+
+
+def test_fit_candidates_batch_scores():
+    rng = np.random.default_rng(4)
+    n = 40
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    Y = (np.sin(2 * X[:, 1]) + 0.1 * rng.normal(size=n))[:, None]
+    specs = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("constant", variance_init=1e-6,
+                               train_variance=False),),)),
+    ]
+    fits, config = fit_candidates(specs, X, Y, num_restart=1, max_iter=150)
+    assert fits.bic.shape == (3,)
+    # SE on the sin feature must beat categorical and constant
+    assert fits.bic[0] < fits.bic[1]
+    assert fits.bic[0] < fits.bic[2]
+
+
+def test_full_search_recovers_sin_structure():
+    """Search on y = sin(t) + noise should pick a time kernel, not the
+    categorical intercept (simulation_test.py ground-truth recovery)."""
+    rng = np.random.default_rng(5)
+    n_units, n_per = 8, 6
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    Y = (np.sin(1.8 * t) + 0.15 * rng.normal(size=n_units * n_per))[:, None]
+    res = full_kernel_search(
+        X, Y, kern_list=["squared_exponential"], cat_vars=[0],
+        max_depth=2, num_restart=1, max_iter=150, random_seed=0,
+    )
+    best = res["best_model_name"]
+    assert "squared_exponential[1]" in best, best
+    # fitted model handle predicts sensibly
+    model = res["best_model"]
+    ymu, yvar = model.predict_y(X)
+    r2 = 1 - np.sum((np.asarray(ymu)[:, 0] - Y[:, 0]) ** 2) / np.sum(
+        (Y[:, 0] - Y.mean()) ** 2
+    )
+    assert r2 > 0.8, r2
+    assert isinstance(res["var_exp"], list)
+
+
+def test_full_search_recovers_random_intercept():
+    """y = unit intercepts + noise → categorical[0] should appear."""
+    rng = np.random.default_rng(6)
+    n_units, n_per = 10, 5
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    effects = 2.0 * rng.normal(size=n_units)
+    Y = (effects[ids.astype(int)] + 0.2 * rng.normal(size=n_units * n_per)
+         )[:, None]
+    res = full_kernel_search(
+        X, Y, kern_list=["squared_exponential"], cat_vars=[0],
+        max_depth=2, num_restart=1, max_iter=150, random_seed=0,
+    )
+    assert "categorical[0]" in res["best_model_name"]

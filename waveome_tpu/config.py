@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 _DEFAULT_FLOAT = jnp.float32
-_DEFAULT_JITTER = 1e-6
+_DEFAULT_JITTER = None  # None → precision-dependent default
 
 
 def set_precision(precision: str = "float32") -> None:
@@ -51,12 +51,17 @@ def default_float():
 
 
 def default_jitter() -> float:
-    return _DEFAULT_JITTER
+    """Cholesky jitter. The reference/GPflow default is 1e-6 in float64;
+    the float32 TPU fast path needs a larger floor for stable batched
+    Cholesky factorizations."""
+    if _DEFAULT_JITTER is not None:
+        return _DEFAULT_JITTER
+    return 1e-6 if _DEFAULT_FLOAT == jnp.float64 else 1e-4
 
 
-def set_jitter(value: float) -> None:
+def set_jitter(value: Optional[float]) -> None:
     global _DEFAULT_JITTER
-    _DEFAULT_JITTER = float(value)
+    _DEFAULT_JITTER = None if value is None else float(value)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Batched candidate fitting for the kernel-structure search.
+
+The reference's ``kernel_test`` (model_search.py:2239-2334) fits ONE
+candidate kernel at a time — (restarts × candidates × features) sequential
+L-BFGS fits are the search's hot loop (SURVEY.md §3.3). Here every
+candidate of an expansion step is padded to a common (C, F) op-code shape
+and ALL (candidate × restart) fits run as a single vmapped coded-structure
+L-BFGS program. Compilations are cached per padded shape, so an entire
+search incurs only a handful of compiles.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+from ..kernels.spec import KernelSpec
+from ..models import svgp
+from ..optimize import lbfgs_fit
+
+
+class CandidateFit(NamedTuple):
+    params: dict  # stacked over candidates
+    loglik: np.ndarray  # (n_cand,) log posterior (= ELBO, no priors)
+    holdout: Optional[np.ndarray]  # (n_cand,) holdout log density sum
+    bic: np.ndarray  # (n_cand,)
+
+
+def _stack_coded(specs: Sequence[KernelSpec], C: int, F: int):
+    coded = [s.padded(C, F).coded() for s in specs]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *coded)
+
+
+def num_param_groups(spec: KernelSpec, likelihood, train_inducing: bool
+                     ) -> int:
+    """Count of trainable parameter objects as gpflow's
+    len(trainable_parameters) would see them (BIC's k,
+    model_search.py:2313-2321)."""
+    k = spec.num_trainable_kernel_params()
+    k += likelihood.n_params
+    k += 1  # constant mean
+    k += 2  # q_mu, q_sqrt
+    if train_inducing:
+        k += 1
+    return k
+
+
+def fit_candidates(
+    specs: Sequence[KernelSpec],
+    X,
+    Y,
+    likelihood: str = "gaussian",
+    num_restart: int = 5,
+    random_seed: Optional[int] = None,
+    max_iter: int = 200,
+    num_inducing_points: int = 500,
+    X_holdout=None,
+    Y_holdout=None,
+    split: bool = False,
+    pad_shape=None,
+) -> CandidateFit:
+    """Fit every candidate spec; return per-candidate best-restart results.
+
+    Scoring (kernel_test, model_search.py:2299-2321): BIC = 2k − 2·loglik
+    rounded to 2 decimals, or negative holdout log-density when ``split``.
+    """
+    dtype = default_float()
+    X = jnp.asarray(X, dtype=dtype)
+    Y = jnp.asarray(Y, dtype=dtype)
+    N = X.shape[0]
+    n_cand = len(specs)
+
+    if pad_shape is None:
+        C = max(s.num_components for s in specs)
+        F = max(max(s.max_factors for s in specs), 2)
+    else:
+        C, F = pad_shape
+    coded = _stack_coded(specs, C, F)
+
+    base_spec = specs[0].padded(C, F)
+    config = svgp.make_config(
+        base_spec, likelihood, num_data=N, input_dim=X.shape[1],
+        num_inducing_points=num_inducing_points, coded_structure=True,
+    )
+
+    raw0 = jnp.stack([
+        jnp.asarray(s.padded(C, F).init_raw_params(dtype=dtype))
+        for s in specs
+    ])
+    kmask = jnp.stack([
+        jnp.asarray(np.asarray(s.padded(C, F).train_mask()))
+        for s in specs
+    ])
+
+    template = svgp.init_params(config, X,
+                                key=jax.random.PRNGKey(random_seed or 0),
+                                dtype=dtype)
+    M = config.num_inducing
+
+    seed = random_seed if random_seed is not None else 0
+    n_fits = num_restart if num_restart > 1 else 1
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_cand * n_fits)
+    keys = keys.reshape(n_cand, n_fits, 2)
+
+    if split:
+        Xh = jnp.asarray(X_holdout, dtype=dtype)
+        Yh = jnp.asarray(Y_holdout, dtype=dtype)
+
+    def one_fit(coded_i, raw_i, kmask_i, key, randomize):
+        mask = {
+            "kernel_raw": kmask_i > 0,
+            "mean_c": jnp.ones((1,), dtype=bool),
+            "lik_raw": jnp.ones_like(template["lik_raw"], dtype=bool),
+            "q_mu": jnp.ones_like(template["q_mu"], dtype=bool),
+            "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
+            "z": jnp.full(template["z"].shape, config.train_inducing,
+                          dtype=bool),
+        }
+        p0 = {k: v for k, v in template.items()}
+        p0["kernel_raw"] = raw_i
+        if randomize:
+            k1, k2, k4 = jax.random.split(key, 3)
+            p0["kernel_raw"] = jnp.where(
+                mask["kernel_raw"],
+                jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i
+            )
+            p0["mean_c"] = jax.random.normal(k2, (1,), dtype=dtype)
+            p0["q_sqrt_raw"] = jnp.diag(
+                jax.random.exponential(k4, (M,), dtype=dtype)
+            )
+
+        def loss(p):
+            return svgp.training_loss(config, p, X, Y, coded=coded_i)
+
+        res = lbfgs_fit(loss, p0, mask=mask, max_iter=max_iter)
+        loglik = -res.loss  # log posterior (no priors → ELBO)
+        if split:
+            hold = jnp.sum(
+                svgp.predict_log_density(config, res.params, Xh, Yh,
+                                         coded=coded_i)
+            )
+        else:
+            hold = jnp.zeros((), dtype=dtype)
+        return res.params, loglik, hold
+
+    def per_candidate(coded_i, raw_i, kmask_i, keys_i):
+        if n_fits == 1:
+            return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
+                           randomize=False)
+        params, logliks, holds = jax.vmap(
+            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True)
+        )(keys_i)
+        # best restart by max loglik (random_restart_optimize,
+        # model_classes.py:511-522), NaN-safe
+        ll = jnp.where(jnp.isfinite(logliks), logliks, -jnp.inf)
+        best = jnp.argmax(ll)
+        return (
+            jax.tree.map(lambda a: a[best], params),
+            logliks[best],
+            holds[best],
+        )
+
+    fit_all = jax.jit(jax.vmap(per_candidate))
+    params, logliks, holds = fit_all(coded, raw0, kmask, keys)
+
+    logliks = np.asarray(logliks)
+    holds = np.asarray(holds)
+
+    bics = np.empty(n_cand)
+    lik = config.likelihood
+    for i, s in enumerate(specs):
+        if split:
+            bics[i] = round(-float(holds[i]), 2)
+        else:
+            k = num_param_groups(s, lik, config.train_inducing)
+            bics[i] = round(2.0 * k - 2.0 * float(logliks[i]), 2)
+
+    return CandidateFit(params=params, loglik=logliks,
+                        holdout=holds if split else None, bic=bics), config

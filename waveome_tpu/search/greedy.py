@@ -1,0 +1,474 @@
+"""Greedy kernel-structure search (BIC-driven add/multiply/prune loop).
+
+Re-implements the search driver family of model_search.py:
+``full_kernel_search`` (:2987-3272), ``loc_kernel_search`` (:2347-2558),
+``prod_kernel_creation`` (:2561-2664), ``check_if_better_metric``
+(:2667-2681), ``keep_top_k`` (:2684-2710), ``prune_best_model2``
+(:2778-2984), and ``split_kernel_search`` (:3275-3532).
+
+Control flow stays host-side Python (exactly like the reference); what
+changes is the execution model: every candidate generated in an expansion
+step is fitted in ONE vmapped coded-structure batch (search/engine.py)
+instead of one sequential GPflow fit per candidate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..kernels.spec import KernelSpec, Primitive
+from ..utilities import check_if_model_exists
+from .engine import fit_candidates
+
+
+def _comp_name(comp: Tuple[Primitive, ...]) -> str:
+    facs = sorted(p.name for p in comp if p.op != "empty")
+    return "*".join(facs)
+
+
+def _spec_name(spec: KernelSpec) -> str:
+    if (len(spec.components) == 1
+            and spec.components[0][0].op == "constant"):
+        return "constant"
+    return "+".join(sorted(_comp_name(c) for c in spec.components))
+
+
+def _sorted_spec(components) -> KernelSpec:
+    comps = sorted(
+        [tuple(c) for c in components], key=_comp_name
+    )
+    return KernelSpec(tuple(comps))
+
+
+def set_feature_kernels(f: int, kern_list: Sequence[str],
+                        cat_vars: Sequence[int]) -> List[Primitive]:
+    """Per-feature candidate primitives (model_search.py:2337-2344)."""
+    if f in cat_vars:
+        return [Primitive("categorical", f)]
+    return [Primitive(k, f) for k in kern_list]
+
+
+def generate_candidates(
+    X_dim: int,
+    kern_list: Sequence[str],
+    cat_vars: Sequence[int],
+    depth: int,
+    base: Optional[KernelSpec] = None,
+    base_name: Optional[str] = None,
+    operation: str = "sum",
+    prev_models: Sequence[str] = (),
+) -> List[Tuple[str, KernelSpec]]:
+    """One expansion step's candidate list (loc_kernel_search semantics,
+    model_search.py:2347-2558), with dedup and the reference's constraints:
+    categorical-duplication guards, two-way-interaction-only products."""
+    out: List[Tuple[str, KernelSpec]] = []
+    seen: List[str] = list(prev_models)
+
+    def maybe_add(name: str, spec: KernelSpec):
+        if check_if_model_exists(name, seen):
+            return
+        seen.append(name)
+        out.append((name, spec))
+
+    for f in range(X_dim):
+        k_list = set_feature_kernels(f, kern_list, cat_vars)
+        # depth-1 "no structure" constant candidate (model_search.py:2385-89)
+        if f == 0 and depth == 1 and base is None:
+            maybe_add(
+                "constant",
+                KernelSpec(((Primitive("constant", variance_init=1e-6,
+                                       train_variance=False),),)),
+            )
+
+        for prim in k_list:
+            if base is None:
+                maybe_add(prim.name, KernelSpec(((prim,),)))
+                continue
+
+            if operation == "sum":
+                # skip if base already has a categorical on this feature
+                if f"categorical[{f}]" in base_name:
+                    continue
+                spec = _sorted_spec(list(base.components) + [(prim,)])
+                maybe_add(_spec_name(spec), spec)
+
+            elif operation == "product":
+                if f"categorical[{f}]" in base_name:
+                    continue
+                if "*" in base_name:  # two-way interactions only
+                    continue
+                frozen = Primitive(prim.op, prim.dim, train_variance=False)
+                comp = tuple(base.components[0]) + (frozen,)
+                spec = _sorted_spec([comp])
+                maybe_add(_spec_name(spec), spec)
+
+            elif operation == "split_product":
+                # distribute product over each additive term
+                # (prod_kernel_creation, model_search.py:2561-2664)
+                base_names = [_comp_name(c) for c in base.components]
+                for ci, comp in enumerate(base.components):
+                    if f"categorical[{f}]" in base_names[ci]:
+                        continue
+                    if "*" in base_names[ci]:
+                        continue
+                    frozen = Primitive(prim.op, prim.dim,
+                                       train_variance=False)
+                    new_comps = list(base.components)
+                    new_comps[ci] = tuple(comp) + (frozen,)
+                    spec = _sorted_spec(new_comps)
+                    maybe_add(_spec_name(spec), spec)
+    return out
+
+
+def check_if_better_metric(search_dict: Dict, depth: int) -> bool:
+    """Did this depth improve the best BIC? (model_search.py:2667-2681)."""
+    prev_vals = [v["bic"] for v in search_dict.values()
+                 if v["depth"] == depth - 1]
+    new_vals = [v["bic"] for v in search_dict.values()
+                if v["depth"] == depth]
+    if prev_vals and new_vals:
+        return min(new_vals) < min(prev_vals)
+    return False
+
+
+def keep_top_k(search_dict: Dict, depth: int, metric_diff: float = 6.0,
+               split: bool = False) -> Dict:
+    """Beam-prune: flag models worse than best by > metric_diff
+    (model_search.py:2684-2710)."""
+    t = np.log if split else (lambda x: x)
+    depth_bics = [v["bic"] for v in search_dict.values()
+                  if v["depth"] == depth]
+    if not depth_bics:
+        return search_dict
+    best = min(depth_bics)
+    for v in search_dict.values():
+        if v["depth"] == depth and v["bic"] - best > t(metric_diff):
+            v["try_next"] = False
+    return search_dict
+
+
+def _prune_candidates(best_name: str, best_spec: KernelSpec,
+                      prev_models: Sequence[str]
+                      ) -> List[Tuple[str, KernelSpec]]:
+    """Backward-pruning candidates of prune_best_model2
+    (model_search.py:2778-2984): drop each additive term; for product
+    terms, drop each factor."""
+    comps = list(best_spec.components)
+    names = [_comp_name(c) for c in comps]
+    out: List[Tuple[str, KernelSpec]] = []
+    seen = list(prev_models)
+
+    def maybe_add(spec_comps):
+        if not spec_comps:
+            return
+        spec = _sorted_spec(spec_comps)
+        name = _spec_name(spec)
+        if check_if_model_exists(name, seen):
+            return
+        seen.append(name)
+        out.append((name, spec))
+
+    if len(comps) <= 1 and "*" not in names[0]:
+        return out
+
+    for i, comp in enumerate(comps):
+        others = [c for j, c in enumerate(comps) if j != i]
+        if "*" in names[i]:
+            # replace the product term by each of its factors
+            # (prune_prod_kernel, model_search.py:2888-2984)
+            for prim in comp:
+                if prim.op == "empty":
+                    continue
+                unfrozen = Primitive(prim.op, prim.dim)
+                maybe_add(others + [(unfrozen,)])
+        else:
+            maybe_add(others)
+    return out
+
+
+def full_kernel_search(
+    X,
+    Y,
+    kern_list: Sequence[str],
+    cat_vars: Sequence[int] = (),
+    max_depth: int = 5,
+    keep_all: bool = False,
+    metric_diff: float = 6.0,
+    early_stopping: bool = True,
+    prune: bool = True,
+    num_restart: int = 5,
+    lik: str = "gaussian",
+    verbose: bool = False,
+    keep_only_best: bool = True,
+    softmax_select: bool = False,
+    random_seed: Optional[int] = None,
+    max_iter: int = 200,
+    num_inducing_points: int = 500,
+    X_holdout=None,
+    Y_holdout=None,
+    split: bool = False,
+) -> Dict:
+    """The greedy search driver (model_search.py:2987-3272)."""
+    rng = np.random.default_rng(random_seed)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64).reshape(-1, 1)
+
+    # complete cases (model_search.py:3035-3043)
+    ok = ~np.isnan(X).any(axis=1) & ~np.isnan(Y[:, 0])
+    X, Y = X[ok], Y[ok]
+
+    search_dict: Dict[str, dict] = {}
+    edge_list: List[Tuple[str, str]] = []
+
+    fit_kwargs = dict(
+        likelihood=lik, num_restart=num_restart, random_seed=random_seed,
+        max_iter=max_iter, num_inducing_points=num_inducing_points,
+        X_holdout=X_holdout, Y_holdout=Y_holdout, split=split,
+    )
+
+    def fit_and_store(cands, depth, parent_map=None):
+        if not cands:
+            return
+        specs = [s for _, s in cands]
+        fits, config = fit_candidates(specs, X, Y, **fit_kwargs)
+        for i, (name, spec) in enumerate(cands):
+            search_dict[name] = {
+                "spec": spec,
+                "config": config,
+                "params": {k: np.asarray(v[i])
+                           for k, v in fits.params.items()},
+                "bic": fits.bic[i],
+                "loglik": float(fits.loglik[i]),
+                "depth": depth,
+                "parent": (parent_map or {}).get(name, "None"),
+                "try_next": True,
+            }
+            if verbose:
+                print(f"Model: {name}, BIC: {fits.bic[i]}")
+
+    d = 1
+    for d in range(1, max_depth + 1):
+        if verbose:
+            print(f"Working on depth {d} now")
+        if d == 1:
+            cands = generate_candidates(
+                X.shape[1], kern_list, cat_vars, depth=1,
+            )
+            fit_and_store(cands, 1)
+        else:
+            new_cands: List[Tuple[str, KernelSpec]] = []
+            parent_map: Dict[str, str] = {}
+            prev = list(search_dict.keys())
+            for name in list(search_dict.keys()):
+                info = search_dict[name]
+                if (info["depth"] != d - 1 or not info["try_next"]
+                        or name == "constant"):
+                    continue
+                for op in ("sum",
+                           "split_product"
+                           if len(info["spec"].components) > 1
+                           else "product"):
+                    cands = generate_candidates(
+                        X.shape[1], kern_list, cat_vars, depth=d,
+                        base=info["spec"], base_name=name, operation=op,
+                        prev_models=prev + [c[0] for c in new_cands],
+                    )
+                    for cname, cspec in cands:
+                        parent_map[cname] = name
+                        new_cands.append((cname, cspec))
+                        edge_list.append((name, cname))
+            fit_and_store(new_cands, d, parent_map)
+            if not new_cands:
+                d -= 1
+                break
+
+        depth_entries = [(v["bic"], k) for k, v in search_dict.items()
+                         if v["depth"] == d]
+        if not depth_entries:
+            break
+        best_name = min(depth_entries)[1]
+        if verbose:
+            print(f"Best model for depth {d} is {best_name}")
+
+        # constant best → stop (model_search.py:3151-3155)
+        if best_name == "constant":
+            if verbose:
+                print("Best model is constant, stopping search")
+            break
+
+        # early stopping (model_search.py:3157-3178)
+        if early_stopping and d > 1:
+            if not check_if_better_metric(search_dict, d):
+                if verbose:
+                    print("No better kernel found in layer, exiting search!")
+                if prune:
+                    _run_prune(search_dict, d, X, Y, fit_kwargs, verbose)
+                break
+
+        if d != max_depth:
+            if not keep_all:
+                keep_top_k(search_dict, d, metric_diff, split)
+            if softmax_select:
+                from .softmax import softmax_kernel_selection
+
+                infos = [(v["bic"], k) for k, v in search_dict.items()]
+                chosen = softmax_kernel_selection(
+                    [b for b, _ in infos], [k for _, k in infos], rng
+                )
+                for k, v in search_dict.items():
+                    if v["depth"] == d and k != chosen:
+                        v["try_next"] = False
+
+        if prune:
+            _run_prune(search_dict, d, X, Y, fit_kwargs, verbose)
+
+    best_name = min(
+        (v["bic"], v["depth"], k) for k, v in search_dict.items()
+    )[2]
+
+    # R² of best model (model_search.py:3255-3260)
+    var_percent = _best_model_rsquare(search_dict[best_name], X, Y)
+
+    best_entry = search_dict[best_name]
+    if keep_only_best:
+        search_dict = {best_name: best_entry}
+
+    return {
+        "models": search_dict,
+        "edges": edge_list,
+        "best_model": _make_fitted(best_entry, best_name),
+        "best_model_name": best_name,
+        "var_exp": var_percent,
+    }
+
+
+def _run_prune(search_dict, depth, X, Y, fit_kwargs, verbose):
+    depth_entries = [(v["bic"], k) for k, v in search_dict.items()
+                     if v["depth"] == depth]
+    if not depth_entries:
+        return
+    best_bic, best_name = min(depth_entries)
+    cands = _prune_candidates(best_name, search_dict[best_name]["spec"],
+                              list(search_dict.keys()))
+    if not cands:
+        return
+    if verbose:
+        print(f"Pruning now: {[c[0] for c in cands]}")
+    specs = [s for _, s in cands]
+    fits, config = fit_candidates(specs, X, Y, **fit_kwargs)
+    for i, (name, spec) in enumerate(cands):
+        if fits.bic[i] < best_bic:
+            if verbose:
+                print(f"New better model found: {name}")
+            search_dict[name] = {
+                "spec": spec,
+                "config": config,
+                "params": {k: np.asarray(v[i])
+                           for k, v in fits.params.items()},
+                "bic": fits.bic[i],
+                "loglik": float(fits.loglik[i]),
+                "depth": depth,
+                "parent": best_name,
+                "try_next": True,
+            }
+
+
+def _make_fitted(entry, name):
+    """Wrap a search entry as a FittedGP for the shared API surface."""
+    import jax.numpy as jnp
+
+    from ..api import FittedGP
+
+    spec = entry["spec"]
+    config = entry["config"]
+    C = config.num_components
+    Fm = config.spec.padded().max_factors
+    n_active = spec.num_components
+    component_mask = np.zeros(C)
+    component_mask[:n_active] = 1.0
+    factor_mask = np.asarray(spec.padded(C, Fm).active_factor_mask(),
+                             dtype=float)
+    # coded-structure configs need the candidate's own codes at predict time
+    fitted = FittedGP(
+        config=config,
+        params={k: jnp.asarray(v) for k, v in entry["params"].items()},
+        component_mask=component_mask,
+        factor_mask=factor_mask,
+        importances=np.zeros(C + 1),
+        penalization_factor=0.0,
+        loss=-entry["loglik"],
+        component_names=list(spec.component_names()),
+        coded=spec.padded(C, Fm).coded(),
+    )
+    fitted.kernel_name = name
+    fitted.search_spec = spec
+    fitted.bic = entry["bic"]
+    return fitted
+
+
+def _best_model_rsquare(entry, X, Y):
+    """Total + per-component R² (calc_rsquare, utilities.py:131-188)."""
+    import jax.numpy as jnp
+
+    from ..interpret.metrics import calc_rsquare_components, calc_rsquare_total
+    from ..models import svgp
+
+    config = entry["config"]
+    spec = entry["spec"]
+    params = {k: jnp.asarray(v) for k, v in entry["params"].items()}
+    coded = spec.padded(config.num_components,
+                        config.spec.padded().max_factors).coded()
+    ymu, _ = svgp.predict_y(config, params, jnp.asarray(X), coded=coded)
+    total = float(calc_rsquare_total(jnp.asarray(Y), ymu))
+    n_active = spec.num_components
+    if n_active > 1:
+        comps = []
+        for i in range(n_active):
+            mask = np.zeros(config.num_components)
+            mask[:n_active] = 1.0
+            mask[i] = 0.0
+            mu_i, _ = svgp.predict_y(config, params, jnp.asarray(X),
+                                     component_mask=jnp.asarray(mask),
+                                     coded=coded)
+            comps.append(np.asarray(mu_i)[:, 0])
+        shares = calc_rsquare_components(
+            jnp.asarray(Y), ymu, jnp.asarray(np.stack(comps))
+        )
+        return [round(float(x), 3) for x in np.asarray(shares)]
+    return [round(total, 3), round(1 - total, 3)]
+
+
+def split_kernel_search(
+    X,
+    Y,
+    kern_list,
+    unit_idx: Optional[int] = None,
+    cat_vars=(),
+    training_percent: float = 0.7,
+    random_seed: Optional[int] = None,
+    **kwargs,
+):
+    """Holdout-scored search: split train/holdout BY UNIT (70/30,
+    model_search.py:3326-3335) and score on holdout log-density."""
+    rng = np.random.default_rng(random_seed)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64).reshape(-1, 1)
+    if unit_idx is None:
+        n = X.shape[0]
+        idx = rng.permutation(n)
+        n_train = int(np.floor(training_percent * n))
+        train, hold = idx[:n_train], idx[n_train:]
+    else:
+        units = np.unique(X[:, unit_idx])
+        rng.shuffle(units)
+        n_train = int(np.floor(training_percent * len(units)))
+        train_units = units[:n_train]
+        mask = np.isin(X[:, unit_idx], train_units)
+        train, hold = np.where(mask)[0], np.where(~mask)[0]
+    return full_kernel_search(
+        X[train], Y[train], kern_list, cat_vars=cat_vars,
+        X_holdout=X[hold], Y_holdout=Y[hold], split=True,
+        random_seed=random_seed, **kwargs,
+    )

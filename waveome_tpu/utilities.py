@@ -1,0 +1,35 @@
+"""Small parity utilities: kernel-name string manipulation and dedup.
+
+The reference's kernel-name strings are load-bearing (SURVEY.md §2.2):
+produced by print_kernel_names (utilities.py:366-383), rewritten to column
+names by replace_kernel_variables (utilities.py:266-278), and compared
+order-insensitively for search dedup by check_if_model_exists
+(utilities.py:281-307). Our ``KernelSpec.name()`` produces the same format;
+these helpers complete the round trip.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+
+def replace_kernel_variables(k_name: str, col_names: Sequence[str]) -> str:
+    """"se[1]" → "se[time]" (utilities.py:266-278)."""
+    new_k_name = k_name
+    for i, c in enumerate(col_names):
+        new_k_name = new_k_name.replace(f"[{i}]", f"[{c}]")
+    return new_k_name
+
+
+def check_if_model_exists(model_name: str, model_list: List[str]) -> bool:
+    """Order-insensitive additive/product-term comparison
+    (utilities.py:281-307)."""
+    model_name_split = model_name.split("+")
+    model_name_split_ordered = {
+        "".join(sorted(x)) for x in model_name_split
+    }
+    for existing in model_list:
+        terms = {"".join(sorted(x)) for x in existing.split("+")}
+        if terms == model_name_split_ordered:
+            return True
+    return False
