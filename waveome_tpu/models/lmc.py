@@ -1,0 +1,487 @@
+"""Multi-output GP via Linear Coregionalization (LMC).
+
+Re-implements ``MultiOutputPSVGP`` (model_classes.py:1129-1612) TPU-first:
+
+  * SVD-based rank estimation (``calculate_rank_estimate``,
+    utilities.py:1393-1421);
+  * Q latent GPs, each with its own one-component kernel from
+    ``full_kernel_build(return_sum=False)`` (model_classes.py:1224-1231)
+    and its own inducing set with smart init — linspace grid for numeric
+    dims, unique values for categorical dims, random subset fallback
+    (model_classes.py:1284-1338);
+  * mixing matrix W (P×Q), init N(0, 0.01²) (model_classes.py:1246),
+    Horseshoe prior with √Q scale adjustment (model_classes.py:1364-1378);
+  * latent kernel variances frozen — W absorbs scale
+    (model_classes.py:1380-1383);
+  * custom optimizer: NatGrad on (q_mu, q_sqrt) + Adam with grad-norm
+    clipping on the rest, soft sign-identifiability penalty
+    ``relu(−W[0,:])``, patience-500 early stop, NaN rollback
+    (model_classes.py:1502-1612);
+  * ``prune_latent_factors`` as a latent mask (model_classes.py:1385-1500).
+
+The per-latent conditionals are *vmapped over latents* using the coded
+(op-code) gram dispatch, so the whole multi-latent ELBO is one batched XLA
+program regardless of which kernels the latents use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..bijectors import to_tril
+from ..config import default_float, default_jitter
+from ..kernels.build import full_kernel_build
+from ..kernels.gram import gram_coded, gram_diag_coded
+from ..kernels.spec import KernelSpec
+from ..likelihoods import Likelihood, gp_likelihood_crosswalk
+from ..optimize.natgrad import natgrad_step
+from ..priors import horseshoe_log_prob
+
+
+def calculate_rank_estimate(Y, threshold: float = 0.90,
+                            transform_counts: bool = True) -> int:
+    """Rank explaining `threshold` variance (utilities.py:1393-1421)."""
+    Y = np.asarray(Y, dtype=np.float64)
+    if transform_counts:
+        Y = np.log1p(Y)
+    mean = Y.mean(axis=0)
+    std = Y.std(axis=0) + 1e-6
+    Ys = (Y - mean) / std
+    s = np.linalg.svd(Ys, compute_uv=False)
+    eig = s ** 2
+    cum = np.cumsum(eig / eig.sum())
+    return int(np.argmax(cum >= threshold) + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class LMCConfig:
+    latent_specs: Tuple[KernelSpec, ...]
+    likelihood: Likelihood
+    num_inducing: int
+    num_outputs: int
+    input_dim: int
+    penalization_factor: float = 1.0
+
+    @property
+    def num_latents(self) -> int:
+        return len(self.latent_specs)
+
+
+class LMCResult(NamedTuple):
+    config: LMCConfig
+    params: dict
+    latent_mask: jnp.ndarray
+    loss_history: np.ndarray
+    latent_names: Tuple[str, ...]
+
+
+def _smart_inducing_init(spec: KernelSpec, X: np.ndarray, M: int,
+                         rng) -> np.ndarray:
+    """Per-latent Z init (model_classes.py:1284-1338)."""
+    comp = spec.components[0]
+    active = [p for p in comp if p.op != "empty"]
+    if len(active) == 1:
+        prim = active[0]
+        dim = prim.dim
+        Z = np.repeat(X.mean(axis=0, keepdims=True), M, axis=0)
+        if prim.op == "categorical":
+            uniq = np.unique(X[:, dim])
+            if len(uniq) >= M:
+                grid = rng.choice(uniq, M, replace=False)
+            else:
+                grid = np.tile(uniq, int(np.ceil(M / len(uniq))))[:M]
+        else:
+            grid = np.linspace(X[:, dim].min(), X[:, dim].max(), M)
+        Z[:, dim] = grid
+        return Z
+    idx = rng.choice(X.shape[0], M, replace=False)
+    return X[idx].copy()
+
+
+def make_lmc_config(
+    X,
+    Y,
+    latent_specs: Optional[Sequence[KernelSpec]] = None,
+    likelihood: str = "gaussian",
+    cat_vars: Sequence[int] = (),
+    num_vars: Sequence[int] = (),
+    unit_idx: Optional[int] = None,
+    var_names: Optional[Sequence[str]] = None,
+    kernel_options: Optional[dict] = None,
+    num_inducing_points: int = 100,
+    penalization_factor: float = 1.0,
+    verbose: bool = False,
+):
+    """Build config incl. rank estimation (model_classes.py:1154-1243)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    num_outputs = Y.shape[1]
+    kernel_options = dict(kernel_options or {})
+    latent_names: Tuple[str, ...]
+
+    lik = gp_likelihood_crosswalk(likelihood)
+
+    if latent_specs is None:
+        if "ranks" not in kernel_options:
+            count_liks = ("poisson", "negative_binomial",
+                          "zeroinflated_negativebinomial")
+            rank = calculate_rank_estimate(
+                Y, threshold=0.90,
+                transform_counts=lik.name in count_liks,
+            )
+            if verbose:
+                print(f"No rank provided. Estimated rank Q={rank} "
+                      "(explains 90% variance).")
+            kernel_options["ranks"] = rank
+        if not num_vars and not cat_vars:
+            num_vars = list(range(X.shape[1]))
+        elif not num_vars:
+            num_vars = [i for i in range(X.shape[1]) if i not in cat_vars]
+        built = full_kernel_build(
+            cat_vars=list(cat_vars), num_vars=list(num_vars),
+            unit_idx=unit_idx,
+            var_names=list(var_names) if var_names is not None else None,
+            return_sum=False, num_outputs=num_outputs, **kernel_options,
+        )
+        if isinstance(built, tuple):
+            latent_specs, latent_names = built[0], tuple(built[1])
+        else:
+            latent_specs, latent_names = built, tuple(
+                s.name() for s in built
+            )
+    else:
+        latent_specs = list(latent_specs)
+        latent_names = tuple(s.name() for s in latent_specs)
+
+    M = min(num_inducing_points, X.shape[0])
+    config = LMCConfig(
+        latent_specs=tuple(latent_specs),
+        likelihood=lik,
+        num_inducing=M,
+        num_outputs=num_outputs,
+        input_dim=X.shape[1],
+        penalization_factor=penalization_factor,
+    )
+    return config, latent_names
+
+
+def init_lmc_params(config: LMCConfig, X, seed: int = 0, dtype=None):
+    dtype = dtype or default_float()
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    Q, M, P = config.num_latents, config.num_inducing, config.num_outputs
+
+    # common padded factor count for coded vmap over latents
+    F = max(max(s.max_factors for s in config.latent_specs), 2)
+    raws, Zs = [], []
+    for s in config.latent_specs:
+        raws.append(np.asarray(s.padded(1, F).init_raw_params()))
+        Zs.append(_smart_inducing_init(s, X, M, rng))
+    W = rng.normal(scale=0.01, size=(P, Q))
+    return {
+        "kernel_raw": jnp.asarray(np.stack(raws), dtype=dtype),  # (Q,1,F,S)
+        "W": jnp.asarray(W, dtype=dtype),
+        "mean_c": jnp.zeros((1,), dtype=dtype),
+        "lik_raw": config.likelihood.init_raw(dtype=dtype),
+        "q_mu": jnp.zeros((M, Q), dtype=dtype),
+        "q_sqrt_raw": jnp.stack([jnp.eye(M, dtype=dtype)] * Q),
+        "z": jnp.asarray(np.stack(Zs), dtype=dtype),  # (Q, M, D)
+    }
+
+
+def lmc_coded(config: LMCConfig):
+    F = max(max(s.max_factors for s in config.latent_specs), 2)
+    codes = [s.padded(1, F).coded() for s in config.latent_specs]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *codes)
+
+
+def latent_conditionals(config, params, coded, Xnew, latent_mask=None):
+    """Per-latent whitened conditionals, vmapped over latents.
+
+    Returns μ (N, Q), v (N, Q)."""
+    jitter = default_jitter()
+    M = config.num_inducing
+
+    def one(code_q, raw_q, z_q, q_mu_q, q_sqrt_q):
+        Kuu = gram_coded(code_q, raw_q, z_q) + jitter * jnp.eye(
+            M, dtype=z_q.dtype
+        )
+        L = jnp.linalg.cholesky(Kuu)
+        Kuf = gram_coded(code_q, raw_q, z_q, Xnew)
+        A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)
+        mu = A.T @ q_mu_q[:, None]
+        Lq = to_tril(q_sqrt_q)
+        SA = Lq.T @ A
+        Kdiag = gram_diag_coded(code_q, raw_q, Xnew)
+        var = Kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
+        return mu[:, 0], var
+
+    mus, vars_ = jax.vmap(one, in_axes=(0, 0, 0, 1, 0))(
+        coded, params["kernel_raw"], params["z"], params["q_mu"],
+        params["q_sqrt_raw"],
+    )
+    mu = mus.T  # (N, Q)
+    var = vars_.T
+    if latent_mask is not None:
+        mu = mu * latent_mask[None, :]
+        var = var * latent_mask[None, :]
+    return mu, var
+
+
+def lmc_predict_f(config, params, Xnew, coded=None, latent_mask=None):
+    """Output-space latent posterior: (N, P) mean and variance."""
+    coded = coded if coded is not None else lmc_coded(config)
+    Xnew = jnp.asarray(Xnew, dtype=params["W"].dtype)
+    mu, var = latent_conditionals(config, params, coded, Xnew, latent_mask)
+    W = params["W"]
+    if latent_mask is not None:
+        W = W * latent_mask[None, :]
+    Fmu = mu @ W.T + params["mean_c"][0]
+    Fvar = var @ (W ** 2).T
+    return Fmu, Fvar
+
+
+def lmc_predict_y(config, params, Xnew, coded=None, latent_mask=None):
+    Fmu, Fvar = lmc_predict_f(config, params, Xnew, coded, latent_mask)
+    lik_p = config.likelihood.constrain(params["lik_raw"])
+    return config.likelihood.predict_mean_and_var(lik_p, Fmu, Fvar)
+
+
+def lmc_elbo(config, params, X, Y, coded=None, latent_mask=None):
+    coded = coded if coded is not None else lmc_coded(config)
+    Fmu, Fvar = lmc_predict_f(config, params, X, coded, latent_mask)
+    lik_p = config.likelihood.constrain(params["lik_raw"])
+    ve = config.likelihood.variational_expectations(lik_p, Fmu, Fvar, Y)
+
+    # KL per latent (whitened)
+    def kl_one(q_mu_q, q_sqrt_q):
+        Lq = to_tril(q_sqrt_q)
+        M = q_mu_q.shape[0]
+        diag = jnp.maximum(jnp.abs(jnp.diag(Lq)), 1e-150)
+        return 0.5 * (
+            jnp.sum(q_mu_q ** 2) + jnp.sum(Lq ** 2) - M
+            - 2.0 * jnp.sum(jnp.log(diag))
+        )
+
+    kls = jax.vmap(kl_one, in_axes=(1, 0))(params["q_mu"],
+                                           params["q_sqrt_raw"])
+    if latent_mask is not None:
+        kls = kls * latent_mask
+    return jnp.sum(ve) - jnp.sum(kls)
+
+
+def lmc_log_posterior(config, params, X, Y, coded=None, latent_mask=None):
+    """ELBO + Horseshoe(1/(λ√Q)) prior on W (model_classes.py:1364-1378)."""
+    el = lmc_elbo(config, params, X, Y, coded, latent_mask)
+    Q = config.num_latents
+    adj = config.penalization_factor * np.sqrt(Q)
+    scale = 1.0 / adj if adj > 0 else 1.0
+    prior = jnp.sum(horseshoe_log_prob(params["W"], scale))
+    return el + prior
+
+
+def lmc_training_loss(config, params, X, Y, coded=None, latent_mask=None,
+                      constraint_weight: float = 1.0):
+    """−log posterior + sign-identifiability penalty relu(−W[0,:])
+    (model_classes.py:1536-1544)."""
+    loss = -lmc_log_posterior(config, params, X, Y, coded, latent_mask)
+    sign_penalty = jnp.sum(jax.nn.relu(-params["W"][0, :]))
+    return loss + constraint_weight * sign_penalty, loss
+
+
+def fit_lmc(
+    config: LMCConfig,
+    params0: dict,
+    X,
+    Y,
+    num_opt_iter: int = 2000,
+    adam_learning_rate: float = 0.01,
+    nat_gradient_gamma: float = 0.1,
+    constraint_weight: float = 1.0,
+    patience: int = 500,
+    verbose: bool = False,
+):
+    """The LMC optimizer loop (model_classes.py:1502-1612) as one
+    lax.while_loop: Adam (grad-norm-clipped) on non-variational params +
+    NatGrad on each latent's (q_mu, q_sqrt); patience early stop; NaN
+    rollback to 100-iter checkpoints."""
+    dtype = params0["W"].dtype
+    X = jnp.asarray(X, dtype=dtype)
+    Y = jnp.asarray(Y, dtype=dtype)
+    coded = lmc_coded(config)
+
+    # frozen latent variances (model_classes.py:1380-1383): adam mask
+    kmask = np.ones(params0["kernel_raw"].shape, dtype=bool)
+    for qi, s in enumerate(config.latent_specs):
+        sp = s.padded(1, params0["kernel_raw"].shape[2])
+        m = np.array(sp.train_mask())
+        m[..., 0] = False  # freeze all variance slots
+        kmask[qi] = m
+
+    adam_mask = {
+        "kernel_raw": jnp.asarray(kmask),
+        "W": jnp.ones_like(params0["W"], dtype=bool),
+        "mean_c": jnp.ones((1,), dtype=bool),
+        "lik_raw": jnp.ones_like(params0["lik_raw"], dtype=bool),
+        "q_mu": jnp.zeros_like(params0["q_mu"], dtype=bool),
+        "q_sqrt_raw": jnp.zeros_like(params0["q_sqrt_raw"], dtype=bool),
+        "z": jnp.zeros_like(params0["z"], dtype=bool),
+    }
+
+    opt = optax.adam(adam_learning_rate)
+
+    def total_loss_fn(p):
+        return lmc_training_loss(config, p, X, Y, coded,
+                                 constraint_weight=constraint_weight)[0]
+
+    def data_loss_fn(p):
+        return lmc_training_loss(config, p, X, Y, coded,
+                                 constraint_weight=constraint_weight)[1]
+
+    def natgrad_apply(p):
+        grads = jax.grad(total_loss_fn)(p)
+
+        def one(gm, gs, m, s):
+            return natgrad_step(gm[:, None], gs, m[:, None], jnp.tril(s),
+                                nat_gradient_gamma)
+
+        new_mu, new_sqrt = jax.vmap(one, in_axes=(1, 0, 1, 0))(
+            grads["q_mu"], grads["q_sqrt_raw"], p["q_mu"], p["q_sqrt_raw"]
+        )
+        p = dict(p)
+        p["q_mu"] = new_mu[:, :, 0].T
+        p["q_sqrt_raw"] = new_sqrt
+        return p
+
+    def body(carry):
+        p, opt_state, snapshot, best_loss, no_improve, it, done = carry
+        # natgrad on variational params first (model_classes.py:1525-1527)
+        p = natgrad_apply(p)
+        # adam step with clipped grads on the rest
+        loss_val, grads = jax.value_and_grad(total_loss_fn)(p)
+        grads = jax.tree.map(
+            lambda g, m: jnp.where(m, g, 0.0), grads, adam_mask
+        )
+        # clip per-leaf by norm 1.0 (tf.clip_by_norm per gradient tensor,
+        # model_classes.py:1549-1551)
+        grads = jax.tree.map(
+            lambda g: g * jnp.minimum(
+                1.0, 1.0 / jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-12)
+            ),
+            grads,
+        )
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+
+        data_loss = data_loss_fn(p)
+        bad = ~jnp.isfinite(data_loss)
+        p = jax.tree.map(
+            lambda a, b: jnp.where(bad, a, b), snapshot, p
+        )
+        # checkpoint every 100 (model_classes.py:1583-1585)
+        snapshot = jax.lax.cond(
+            (it % 100 == 0) & ~bad,
+            lambda _: p, lambda _: snapshot, None,
+        )
+        improved = data_loss < best_loss
+        best_loss = jnp.where(improved, data_loss, best_loss)
+        no_improve = jnp.where(improved, 0, no_improve + 1)
+        done = bad | (no_improve >= patience)
+        return p, opt_state, snapshot, best_loss, no_improve, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < num_opt_iter) & ~done
+
+    init = (
+        params0, opt.init(params0), params0,
+        jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(0), jnp.asarray(0),
+        jnp.asarray(False),
+    )
+    run = jax.jit(lambda c: jax.lax.while_loop(cond, body, c))
+    p, _, _, best_loss, _, it, _ = run(init)
+    return p, float(best_loss), int(it)
+
+
+def prune_latent_factors(config, params, threshold: float = 0.1,
+                         variance_threshold: Optional[float] = None,
+                         verbose: bool = False):
+    """Latent mask: drop latents with max|W| below threshold
+    (model_classes.py:1385-1421); all-pruned keeps the best latent."""
+    W = np.asarray(params["W"])
+    importance = np.abs(W).max(axis=0)
+    keep = importance >= threshold
+    if variance_threshold is not None:
+        from ..kernels.gram import constrain
+
+        variances = np.asarray(
+            constrain(params["kernel_raw"])[:, 0, :, 0]
+        ).max(axis=1)
+        keep &= variances >= variance_threshold
+    if not keep.any():
+        print("Warning: All latent factors would be pruned! "
+              "Keeping the one with max weight.")
+        keep = np.zeros_like(keep)
+        keep[int(np.argmax(importance))] = True
+    if verbose:
+        print(f"Pruning {int((~keep).sum())} latent factors. "
+              f"Keeping {int(keep.sum())}.")
+    return jnp.asarray(keep.astype(np.asarray(params["W"]).dtype))
+
+
+def fit_multioutput(
+    X,
+    Y,
+    latent_specs=None,
+    likelihood: str = "gaussian",
+    cat_vars=(),
+    num_vars=(),
+    unit_idx=None,
+    var_names=None,
+    kernel_options=None,
+    sparse_options=None,
+    penalization_factor: float = 1.0,
+    num_opt_iter: int = 2000,
+    adam_learning_rate: float = 0.01,
+    nat_gradient_gamma: float = 0.1,
+    constraint_weight: float = 1.0,
+    random_seed: Optional[int] = None,
+    prune: bool = False,
+    prune_threshold: float = 0.1,
+    verbose: bool = False,
+) -> LMCResult:
+    """End-to-end LMC fit (multioutput_penalized_optimization,
+    model_search.py:519-573)."""
+    sparse_options = dict(sparse_options or {})
+    config, latent_names = make_lmc_config(
+        X, Y, latent_specs=latent_specs, likelihood=likelihood,
+        cat_vars=cat_vars, num_vars=num_vars, unit_idx=unit_idx,
+        var_names=var_names, kernel_options=kernel_options,
+        num_inducing_points=sparse_options.get("num_inducing_points", 100),
+        penalization_factor=penalization_factor, verbose=verbose,
+    )
+    params0 = init_lmc_params(config, X, seed=random_seed or 0)
+    params, loss, iters = fit_lmc(
+        config, params0, X, Y,
+        num_opt_iter=num_opt_iter,
+        adam_learning_rate=adam_learning_rate,
+        nat_gradient_gamma=nat_gradient_gamma,
+        constraint_weight=constraint_weight,
+        verbose=verbose,
+    )
+    if prune:
+        latent_mask = prune_latent_factors(config, params, prune_threshold,
+                                           verbose=verbose)
+    else:
+        latent_mask = jnp.ones((config.num_latents,),
+                               dtype=params["W"].dtype)
+    return LMCResult(
+        config=config, params=params, latent_mask=latent_mask,
+        loss_history=np.asarray([loss]), latent_names=latent_names,
+    )
