@@ -1,0 +1,116 @@
+"""End-to-end GPSearch API tests mirroring the overview tutorial
+(waveome_overview.ipynb): 3 outcomes with known structure, penalized
+optimization, kernel names, importances, heatmap frame, and plots."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from waveome_tpu import GPSearch
+
+
+@pytest.fixture(scope="module")
+def tutorial_data():
+    rng = np.random.default_rng(7)
+    n_units, n_per = 10, 8
+    ids = np.repeat([f"s{i}" for i in range(n_units)], n_per)
+    t = np.tile(np.linspace(0, 10, n_per), n_units)
+    female = np.repeat((np.arange(n_units) % 2).astype(float), n_per)
+    n = n_units * n_per
+    X = pd.DataFrame({"id": ids, "time": t, "female": female})
+    Y = pd.DataFrame({
+        "y_sin": np.sin(t) + 0.25 * rng.normal(size=n),
+        "y_gender": female * np.cos(t) + 0.25 * rng.normal(size=n),
+        "y_linear": 0.3 * t
+        + rng.normal(size=n_units)[np.repeat(np.arange(n_units), n_per)]
+        + 0.25 * rng.normal(size=n),
+    })
+    return X, Y
+
+
+@pytest.fixture(scope="module")
+def fitted_gps(tutorial_data):
+    X, Y = tutorial_data
+    gps = GPSearch(
+        X=X, Y=Y, unit_col="id", categorical_vars=["female"],
+        outcome_likelihood="gaussian", Y_transform="standardize",
+    )
+    gps.penalized_optimization(
+        penalization_factor=None, num_factor_iter=2,
+        optimization_options={"num_opt_iter": 300},
+    )
+    return gps
+
+
+def test_ingestion(tutorial_data):
+    X, Y = tutorial_data
+    gps = GPSearch(X=X, Y=Y, unit_col="id", categorical_vars=["female"])
+    # string unit factorized + mapping retained (model_search.py:96-104)
+    assert "id" in gps.categorical_dict
+    assert gps.unit_idx == 0
+    assert gps.cat_idx == [2, 0]  # female, id
+    assert gps.cont_idx == [1]
+    # continuous standardized
+    assert abs(gps.X["time"].mean()) < 1e-10
+
+
+def test_ingestion_errors(tutorial_data):
+    X, Y = tutorial_data
+    with pytest.raises(TypeError):
+        GPSearch(X=X.to_numpy(), Y=Y)
+    Xbad = X.copy()
+    Xbad.loc[0, "time"] = np.nan
+    with pytest.raises(AssertionError):
+        GPSearch(X=Xbad.astype({"id": "str"}), Y=Y, unit_col="id")
+
+
+def test_penalized_models_and_names(fitted_gps):
+    gps = fitted_gps
+    assert set(gps.models) == {"y_sin", "y_gender", "y_linear"}
+    m_sin = gps.models["y_sin"]
+    assert "squared_exponential[1]" in m_sin.kernel_name
+    m_gender = gps.models["y_gender"]
+    assert "*" in m_gender.kernel_name, m_gender.kernel_name
+    m_lin = gps.models["y_linear"]
+    assert "categorical[0]" in m_lin.kernel_name
+
+    # importances sum structure: active comps + residual
+    imps = m_sin.feature_importances
+    assert len(imps) == len(m_sin.active_components) + 1
+
+    # predictions work through the pruned-mask path
+    ymu, yvar = m_sin.predict_y(gps.X.to_numpy())
+    assert np.all(np.isfinite(np.asarray(ymu)))
+    bic = m_sin.calc_metric(gps.X.to_numpy(),
+                            gps.Y["y_sin"].to_numpy()[:, None])
+    assert np.isfinite(bic)
+
+
+def test_importance_frame_and_heatmap(fitted_gps):
+    gps = fitted_gps
+    df = gps.importance_frame()
+    assert set(df.index) == {"y_sin", "y_gender", "y_linear"}
+    assert "residual" in df.columns
+    # column names rewritten to variable names (utilities.py:266-278)
+    assert any("time" in c for c in df.columns)
+    g = gps.plot_heatmap()
+    assert g is not None
+
+    fig, ax = gps.plot_feature_metrics("time")
+    assert fig is not None
+
+
+def test_plot_parts_and_marginal(fitted_gps):
+    gps = fitted_gps
+    fig, axes = gps.plot_parts("y_sin", x_axis_label="time")
+    assert fig is not None
+    fig, ax = gps.plot_marginal("y_gender", "time")
+    assert fig is not None
+
+
+def test_reverse_transform(fitted_gps):
+    gps = fitted_gps
+    v = gps.reverse_transform(np.array([0.0]), y_col="y_sin")
+    np.testing.assert_allclose(
+        v, gps.Y_means["y_sin"], rtol=1e-6
+    )

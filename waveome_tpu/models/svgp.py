@@ -261,20 +261,24 @@ def log_prior_density(config: SVGPConfig, params,
 
 def log_posterior(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
-                  component_mask=None, coded=None, scale: float = 1.0):
+                  component_mask=None, coded=None, scale: float = 1.0,
+                  factor_mask=None):
     """ELBO + prior log-density (gpflow log_posterior_density; this is what
     the reference's training_loss minimises and what BIC consumes,
     model_search.py:2311)."""
-    return elbo(config, params, X, Y, component_mask, coded, scale) + (
+    return elbo(config, params, X, Y, component_mask, coded, scale,
+                factor_mask=factor_mask) + (
         log_prior_density(config, params, penalization_factor)
     )
 
 
 def training_loss(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
-                  component_mask=None, coded=None, scale: float = 1.0):
+                  component_mask=None, coded=None, scale: float = 1.0,
+                  factor_mask=None):
     return -log_posterior(config, params, X, Y, penalization_factor,
-                          component_mask, coded, scale)
+                          component_mask, coded, scale,
+                          factor_mask=factor_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -317,10 +321,12 @@ def predict_log_density(config: SVGPConfig, params, Xnew, Ynew,
 
 
 def predict_f_samples(config: SVGPConfig, params, Xnew, num_samples: int,
-                      key: jax.Array, component_mask=None, coded=None):
+                      key: jax.Array, component_mask=None, coded=None,
+                      factor_mask=None):
     """Posterior function samples (utilities.py:822-834)."""
     fmean, fcov = predict_f(config, params, Xnew, full_cov=True,
-                            component_mask=component_mask, coded=coded)
+                            component_mask=component_mask, coded=coded,
+                            factor_mask=factor_mask)
     jitter = default_jitter()
     Lc = jnp.linalg.cholesky(
         fcov + jitter * jnp.eye(fcov.shape[0], dtype=fcov.dtype)

@@ -1,0 +1,396 @@
+"""Plotting layer (host-side matplotlib/seaborn).
+
+Re-provides the reference's interpretation figures:
+  * ``pred_kernel_parts`` (predictions.py:25-479) — grid of additive
+    component posteriors: categorical components plot per-level curves,
+    continuous×continuous interactions plot 5-number-summary slices, plain
+    components get mean + CI + posterior samples; final panel is residuals.
+  * ``plot_residuals`` (predictions.py:482-516).
+  * ``gp_predict_fun`` (predictions.py:519-729) — marginal posterior along
+    one axis, optionally per-unit conditional curves.
+  * ``plot_heatmap`` (model_search.py:1271-1443) — outcomes × component
+    importance heatmap with cutoffs and clustering.
+  * ``plot_feature_metrics`` (model_search.py:1512-1596).
+  * ``plot_latent_processes`` / ``plot_multioutput_predictions``
+    (model_search.py:1717-2236) for the LMC path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import seaborn as sns  # noqa: E402
+
+from .utilities import replace_kernel_variables  # noqa: E402
+
+
+def _grid_X(X, x_idx, n=300):
+    x_new = np.zeros((n, X.shape[1]))
+    x_new[:, x_idx] = np.linspace(X[:, x_idx].min(), X[:, x_idx].max(), n)
+    return x_new
+
+
+def _cond_mean(model, F):
+    lik = model.config.likelihood
+    lik_p = lik.constrain(model.params["lik_raw"])
+    return np.asarray(lik.conditional_mean(lik_p, F))
+
+
+def _component_prediction(model, comp_pos, x_new):
+    """Posterior of one active component (marginal mode)."""
+    import jax.numpy as jnp
+
+    from .interpret.components import component_posterior_marginal
+
+    idx = model.active_components[comp_pos]
+    mask = jnp.asarray(model.component_mask)
+    kw = {}
+    if model.coded is None:
+        kw["factor_mask"] = jnp.asarray(model.factor_mask)
+    mu, var, samples, _ = component_posterior_marginal(
+        model.config, model.params, jnp.asarray(x_new), idx,
+        component_mask=mask, num_samples=30, **kw,
+    )
+    return (np.asarray(mu)[:, 0], np.asarray(var)[:, 0],
+            np.asarray(samples))
+
+
+def pred_kernel_parts(
+    model,
+    data,
+    x_idx: int,
+    col_names: Sequence[str],
+    categorical_dict: Optional[dict] = None,
+    num_cols_in_fig: int = 4,
+    figsize=None,
+    conf_level_val: float = 1.96,
+    unit_idx: Optional[int] = None,
+    resid_type: str = "pearson",
+    cat_color_pal=None,
+):
+    """Figure grid of additive component posteriors + residual panel."""
+    categorical_dict = categorical_dict or {}
+    cat_color_pal = cat_color_pal or sns.color_palette("Set1")
+    X, Y = np.asarray(data[0]), np.asarray(data[1])
+
+    comp_names = [
+        name for i, name in enumerate(_active_component_names(model))
+    ]
+    var_percent = model.feature_importances
+
+    if not comp_names:  # constant/empty model → residuals only
+        fig, ax = plt.subplots(ncols=1, figsize=(5, 5))
+        _residual_panel(model, data, ax, resid_type, unit_idx)
+        return fig, ax
+
+    num_figs = len(comp_names) + 1
+    num_rows = int(np.ceil(num_figs / num_cols_in_fig))
+    if figsize is None:
+        figsize = (7.2, 2.0 * num_rows)
+    fig, axes = plt.subplots(ncols=num_cols_in_fig, nrows=num_rows,
+                             figsize=figsize, squeeze=False)
+
+    for pos, k_name in enumerate(comp_names):
+        ax = axes[pos // num_cols_in_fig, pos % num_cols_in_fig]
+        dims = [int(d) for d in re.findall(r"\[(\d+)\]", k_name)]
+        cat_dims = [int(d) for d in
+                    re.findall(r"categorical\[(\d+)\]", k_name)]
+
+        if cat_dims:
+            # categorical (possibly × continuous): per-level curves
+            cont_dims = [d for d in dims if d not in cat_dims]
+            plot_dim = cont_dims[0] if cont_dims else x_idx
+            x_new = _grid_X(X, plot_dim)
+            cat_dim = cat_dims[0]
+            levels = np.unique(X[:, cat_dim])
+            for lv in levels:
+                x_new[:, cat_dim] = lv
+                mu, var, _ = _component_prediction(model, pos, x_new)
+                mean_resp = _cond_mean(model, mu)
+                lo = _cond_mean(model, mu - conf_level_val * np.sqrt(var))
+                hi = _cond_mean(model, mu + conf_level_val * np.sqrt(var))
+                label = None
+                if len(levels) <= 5:
+                    cname = col_names[cat_dim]
+                    if cname in categorical_dict:
+                        label = str(categorical_dict[cname][1][int(lv)])
+                    else:
+                        label = str(lv)
+                    ax.fill_between(x_new[:, plot_dim], lo, hi,
+                                    color="lightgreen", alpha=0.5)
+                ax.plot(x_new[:, plot_dim], mean_resp, alpha=0.6,
+                        label=label,
+                        color=cat_color_pal[int(lv) % len(cat_color_pal)])
+            if len(levels) <= 5:
+                ax.legend(loc="upper right", fontsize=6)
+            xlabel = col_names[plot_dim]
+        elif len(set(dims)) == 2:
+            # continuous × continuous: 5-number-summary slices
+            # (predictions.py:259-336)
+            d_main, d_slice = dims[0], dims[1]
+            qs = np.quantile(X[:, d_slice], [0, 0.25, 0.5, 0.75, 1.0])
+            x_new = _grid_X(X, d_main)
+            for q in qs:
+                x_new[:, d_slice] = q
+                mu, var, _ = _component_prediction(model, pos, x_new)
+                ax.plot(x_new[:, d_main], _cond_mean(model, mu),
+                        alpha=0.6, label=f"{col_names[d_slice]}={q:.2g}")
+            ax.legend(fontsize=5)
+            xlabel = col_names[d_main]
+        else:
+            # plain continuous component: mean + CI + samples
+            # (predictions.py:339-434)
+            d_main = dims[0] if dims else x_idx
+            x_new = _grid_X(X, d_main)
+            mu, var, samples = _component_prediction(model, pos, x_new)
+            for s in range(min(samples.shape[1], 20)):
+                ax.plot(x_new[:, d_main], _cond_mean(model, samples[:, s]),
+                        color="gray", alpha=0.15, linewidth=0.5)
+            ax.plot(x_new[:, d_main], _cond_mean(model, mu), color="C0")
+            ax.fill_between(
+                x_new[:, d_main],
+                _cond_mean(model, mu - conf_level_val * np.sqrt(var)),
+                _cond_mean(model, mu + conf_level_val * np.sqrt(var)),
+                color="lightgreen", alpha=0.5,
+            )
+            xlabel = col_names[d_main]
+
+        title = replace_kernel_variables(k_name, list(col_names))
+        imp = var_percent[pos] if pos < len(var_percent) else 0.0
+        ax.set_title(f"{title}\n(importance {imp:.1f})", fontsize=6)
+        ax.set_xlabel(xlabel, fontsize=6)
+        ax.tick_params(labelsize=5)
+
+    # residual panel last (predictions.py:457-465)
+    ax = axes[(num_figs - 1) // num_cols_in_fig,
+              (num_figs - 1) % num_cols_in_fig]
+    _residual_panel(model, data, ax, resid_type, unit_idx)
+    # hide unused axes
+    for k in range(num_figs, num_rows * num_cols_in_fig):
+        axes[k // num_cols_in_fig, k % num_cols_in_fig].axis("off")
+    fig.tight_layout()
+    return fig, axes
+
+
+def _active_component_names(model):
+    spec = model.config.spec.padded()
+    names = []
+    for i in model.active_components:
+        comp = spec.components[i]
+        facs = [p.name for j, p in enumerate(comp)
+                if p.op != "empty" and model.factor_mask[i, j] > 0]
+        names.append("*".join(sorted(facs)))
+    return names
+
+
+def _residual_panel(model, data, ax, resid_type, unit_idx):
+    from .interpret.metrics import calc_residuals
+
+    import jax.numpy as jnp
+
+    X, Y = np.asarray(data[0]), np.asarray(data[1])
+    fmu, _ = model.predict_f(X)
+    lik = model.config.likelihood
+    lik_p = lik.constrain(model.params["lik_raw"])
+    resids = np.asarray(calc_residuals(
+        lik, lik_p, jnp.asarray(Y), jnp.asarray(fmu),
+        resid_type=resid_type,
+    ))
+    fitted = np.asarray(lik.conditional_mean(
+        lik_p, jnp.asarray(fmu).reshape(-1)
+    ))
+    if unit_idx is not None:
+        colors = X[:, unit_idx]
+        ax.scatter(fitted, resids, c=colors, cmap="tab20", s=6, alpha=0.7)
+    else:
+        ax.scatter(fitted, resids, s=6, alpha=0.7)
+    ax.axhline(0.0, color="k", linewidth=0.5)
+    res_share = model.feature_importances[-1] * 100
+    ax.set_title(f"residual ({res_share:.0f}%)", fontsize=6)
+    ax.set_xlabel("fitted", fontsize=6)
+    ax.tick_params(labelsize=5)
+
+
+def plot_residuals(model, data, resid_type: str = "pearson",
+                   unit_idx: Optional[int] = None, figsize=(5, 4)):
+    """Fitted-vs-residual scatter (predictions.py:482-516)."""
+    fig, ax = plt.subplots(figsize=figsize)
+    _residual_panel(model, data, ax, resid_type, unit_idx)
+    return fig, ax
+
+
+def gp_predict_fun(
+    model,
+    x_idx: int,
+    X,
+    Y,
+    col_names: Sequence[str],
+    unit_idx: Optional[int] = None,
+    unit_label=None,
+    num_funs: int = 10,
+    ref_quantile: float = 0.5,
+    predict_type: str = "mean",
+    conf_level_val: float = 1.96,
+    figsize=(6, 4),
+):
+    """Marginal posterior along one axis at reference quantiles
+    (predictions.py:519-729): other covariates pinned at their
+    ``ref_quantile``; optional unit-conditional curve."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    x_new = np.zeros((300, X.shape[1]))
+    for d in range(X.shape[1]):
+        x_new[:, d] = np.quantile(X[:, d], ref_quantile)
+    x_new[:, x_idx] = np.linspace(X[:, x_idx].min(), X[:, x_idx].max(), 300)
+    if unit_idx is not None and unit_label is not None:
+        x_new[:, unit_idx] = unit_label
+
+    fmu, fvar = model.predict_f(x_new)
+    fmu = np.asarray(fmu)[:, 0]
+    fvar = np.asarray(fvar)[:, 0]
+
+    fig, ax = plt.subplots(figsize=figsize)
+    if predict_type == "func":
+        mean, lo, hi = (fmu, fmu - conf_level_val * np.sqrt(fvar),
+                        fmu + conf_level_val * np.sqrt(fvar))
+    else:
+        mean = _cond_mean(model, fmu)
+        lo = _cond_mean(model, fmu - conf_level_val * np.sqrt(fvar))
+        hi = _cond_mean(model, fmu + conf_level_val * np.sqrt(fvar))
+    ax.plot(x_new[:, x_idx], mean, color="C0")
+    ax.fill_between(x_new[:, x_idx], lo, hi, color="lightblue", alpha=0.5)
+    ax.scatter(X[:, x_idx], Y[:, 0], s=8, color="k", alpha=0.4)
+    ax.set_xlabel(col_names[x_idx])
+    return fig, ax
+
+
+def plot_heatmap(
+    importance_df,
+    var_cutoff: float = 0.0,
+    feature_filter: Optional[Sequence[str]] = None,
+    drop_residual: bool = True,
+    cluster: bool = True,
+    figsize=(10, 8),
+    cmap: str = "viridis",
+    **kwargs,
+):
+    """Outcomes × kernel-component importance heatmap
+    (model_search.py:1271-1443)."""
+    df = importance_df.copy()
+    if drop_residual and "residual" in df.columns:
+        df = df.drop(columns=["residual"])
+    if feature_filter:
+        keep = [c for c in df.columns
+                if any(f in c for f in feature_filter)]
+        df = df[keep]
+    df = df.loc[:, (df.abs() > var_cutoff).any(axis=0)]
+    if df.empty:
+        raise ValueError("No components pass the requested cutoffs")
+    if cluster and df.shape[0] > 1:
+        g = sns.clustermap(df, cmap=cmap, figsize=figsize, col_cluster=False,
+                           **kwargs)
+        return g
+    fig, ax = plt.subplots(figsize=figsize)
+    sns.heatmap(df, cmap=cmap, ax=ax, **kwargs)
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_feature_metrics(importance_df, feature_name: str,
+                         return_df: bool = False, figsize=(6, 4)):
+    """Ranked bar chart of one feature's importance across outcomes
+    (model_search.py:1512-1596)."""
+    cols = [c for c in importance_df.columns if feature_name in c]
+    if not cols:
+        raise ValueError(f"No components involve feature '{feature_name}'")
+    vals = importance_df[cols].sum(axis=1).sort_values(ascending=False)
+    if return_df:
+        return vals.to_frame(name=feature_name)
+    fig, ax = plt.subplots(figsize=figsize)
+    vals.plot.bar(ax=ax)
+    ax.set_ylabel(f"importance of {feature_name}")
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_latent_processes(result, X, x_idx: int = 0, figsize=None):
+    """LMC latent posterior curves + mixing-weight bars
+    (model_search.py:1717-2064)."""
+    from .models.lmc import latent_conditionals, lmc_coded
+
+    import jax.numpy as jnp
+
+    config, params = result.config, result.params
+    Q = config.num_latents
+    X = np.asarray(X)
+    x_new = _grid_X(X, x_idx)
+    mu, var = latent_conditionals(
+        config, params, lmc_coded(config), jnp.asarray(x_new),
+        latent_mask=result.latent_mask,
+    )
+    mu, var = np.asarray(mu), np.asarray(var)
+    W = np.asarray(params["W"])
+
+    if figsize is None:
+        figsize = (8, 2 * Q)
+    fig, axes = plt.subplots(nrows=Q, ncols=2, figsize=figsize,
+                             squeeze=False)
+    for q in range(Q):
+        ax = axes[q, 0]
+        ax.plot(x_new[:, x_idx], mu[:, q], color="C0")
+        ax.fill_between(
+            x_new[:, x_idx],
+            mu[:, q] - 1.96 * np.sqrt(var[:, q]),
+            mu[:, q] + 1.96 * np.sqrt(var[:, q]),
+            alpha=0.4, color="lightblue",
+        )
+        name = (result.latent_names[q]
+                if q < len(result.latent_names) else f"latent {q}")
+        ax.set_title(f"latent {q}: {name}", fontsize=7)
+        axw = axes[q, 1]
+        axw.bar(np.arange(W.shape[0]), W[:, q])
+        axw.set_title("mixing weights", fontsize=7)
+    fig.tight_layout()
+    return fig, axes
+
+
+def plot_multioutput_predictions(result, X, Y, x_idx: int = 0,
+                                 out_names: Optional[Sequence[str]] = None,
+                                 num_cols: int = 3, figsize=None):
+    """Per-output predicted trajectories (model_search.py:2066-2236)."""
+    from .models.lmc import lmc_predict_y
+
+    X, Y = np.asarray(X), np.asarray(Y)
+    P = Y.shape[1]
+    x_new = _grid_X(X, x_idx)
+    ymu, yvar = lmc_predict_y(result.config, result.params, x_new,
+                              latent_mask=result.latent_mask)
+    ymu, yvar = np.asarray(ymu), np.asarray(yvar)
+    rows = int(np.ceil(P / num_cols))
+    if figsize is None:
+        figsize = (3 * num_cols, 2.5 * rows)
+    fig, axes = plt.subplots(rows, num_cols, figsize=figsize,
+                             squeeze=False)
+    for p in range(P):
+        ax = axes[p // num_cols, p % num_cols]
+        ax.scatter(X[:, x_idx], Y[:, p], s=6, alpha=0.4, color="k")
+        ax.plot(x_new[:, x_idx], ymu[:, p], color="C0")
+        ax.fill_between(
+            x_new[:, x_idx],
+            ymu[:, p] - 1.96 * np.sqrt(yvar[:, p]),
+            ymu[:, p] + 1.96 * np.sqrt(yvar[:, p]),
+            alpha=0.4, color="lightblue",
+        )
+        title = out_names[p] if out_names else f"output {p}"
+        ax.set_title(title, fontsize=7)
+    for k in range(P, rows * num_cols):
+        axes[k // num_cols, k % num_cols].axis("off")
+    fig.tight_layout()
+    return fig, axes
