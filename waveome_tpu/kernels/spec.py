@@ -139,14 +139,18 @@ class KernelSpec:
         dtype = dtype or default_float()
         spec = self.padded()
         C, F, P = spec.num_components, spec.max_factors, ops.N_PARAM_SLOTS
+
+        def sp_inv(v):  # numpy softplus-inverse (jit-trace-safe)
+            return float(np.log(np.expm1(v)))
+
         raw = np.zeros((C, F, P), dtype=np.float64)
-        one = float(softplus_inv(1.0))
+        one = sp_inv(1.0)
         for i, comp in enumerate(spec.components):
             for j, p in enumerate(comp):
                 for s in ops.OP_PARAM_SLOTS[p.code]:
                     raw[i, j, s] = one
                 if 0 in ops.OP_PARAM_SLOTS[p.code]:
-                    raw[i, j, 0] = float(softplus_inv(p.variance_init))
+                    raw[i, j, 0] = sp_inv(p.variance_init)
         return jnp.asarray(raw, dtype=dtype)
 
     def _param_exists_np(self) -> np.ndarray:

@@ -89,7 +89,8 @@ class Likelihood:
             if bij == "exp":
                 raws.append(float(np.log(v)))
             else:
-                raws.append(float(bijectors.softplus_inv(v - lo)))
+                # numpy softplus-inverse (safe inside jit traces)
+                raws.append(float(np.log(np.expm1(v - lo))))
         return jnp.asarray(raws, dtype=dtype)
 
     def constrain(self, raw):

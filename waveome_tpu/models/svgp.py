@@ -222,15 +222,24 @@ def kl_whitened(params):
 
 
 def elbo(config: SVGPConfig, params, X, Y, component_mask=None, coded=None,
-         scale: float = 1.0, factor_mask=None):
+         scale: float = 1.0, factor_mask=None, weights=None):
     """Evidence lower bound (gpflow SVGP.elbo semantics;
-    model_classes.py:817-835 uses this as the MLL objective)."""
+    model_classes.py:817-835 uses this as the MLL objective).
+
+    ``weights``: optional per-observation weights on the variational
+    expectations. Weight-0 rows are excluded from the data term — the
+    shape-static equivalent of np.delete'ing CV-fold rows
+    (model_classes.py:902-905), which lets all folds share one compiled
+    program and batch in a single vmap.
+    """
     fmean, fvar = _conditional(config, params, X, component_mask, coded,
                                factor_mask=factor_mask)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     ve = config.likelihood.variational_expectations(
         lik_p, fmean[:, 0], fvar[:, 0], Y[:, 0]
     )
+    if weights is not None:
+        ve = ve * weights
     return scale * jnp.sum(ve) - kl_whitened(params)
 
 
@@ -262,12 +271,12 @@ def log_prior_density(config: SVGPConfig, params,
 def log_posterior(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
                   component_mask=None, coded=None, scale: float = 1.0,
-                  factor_mask=None):
+                  factor_mask=None, weights=None):
     """ELBO + prior log-density (gpflow log_posterior_density; this is what
     the reference's training_loss minimises and what BIC consumes,
     model_search.py:2311)."""
     return elbo(config, params, X, Y, component_mask, coded, scale,
-                factor_mask=factor_mask) + (
+                factor_mask=factor_mask, weights=weights) + (
         log_prior_density(config, params, penalization_factor)
     )
 
@@ -275,10 +284,10 @@ def log_posterior(config: SVGPConfig, params, X, Y,
 def training_loss(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
                   component_mask=None, coded=None, scale: float = 1.0,
-                  factor_mask=None):
+                  factor_mask=None, weights=None):
     return -log_posterior(config, params, X, Y, penalization_factor,
                           component_mask, coded, scale,
-                          factor_mask=factor_mask)
+                          factor_mask=factor_mask, weights=weights)
 
 
 # ---------------------------------------------------------------------------
