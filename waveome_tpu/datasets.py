@@ -1,0 +1,166 @@
+"""Simulation generators and evaluation metrics — the integration/eval
+harness (SURVEY.md §4, milestone 11).
+
+Re-provides, as data generators over our KernelSpec machinery:
+
+  * the 4 ground-truth longitudinal kernels of the kernel-recovery
+    simulation study (kernel_learning/simulation_test.py:142-174);
+  * GP-draw simulation of longitudinal designs (unit / treatment / time);
+  * the sim-harness quality metrics (examples/simulations/
+    sim_waveome_hpc_run.py:370-451): holdout KL divergence to the true
+    predictive distribution, MSE, and feature-recovery scoring
+    (retrieve_features_in_models, :192-219).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .kernels.gram import gram
+from .kernels.spec import KernelSpec, Primitive
+
+
+def longitudinal_design(num_units: int = 10, rate: int = 10,
+                        seed: Optional[int] = None) -> np.ndarray:
+    """X = [unit id, binary treatment, time] — the simulation design of
+    simulation_test.py (unit-level treatment, `rate` observations per unit
+    on [0, 1])."""
+    rng = np.random.default_rng(seed)
+    ids = np.repeat(np.arange(num_units), rate).astype(float)
+    treat = np.repeat((rng.random(num_units) < 0.5).astype(float), rate)
+    time = np.tile(np.sort(rng.random(rate)), num_units)
+    return np.column_stack([ids, treat, time])
+
+
+def ground_truth_specs() -> Dict[str, Tuple[KernelSpec, np.ndarray]]:
+    """The four ground-truth kernels (simulation_test.py:142-174) as
+    (spec, constrained-variance/lengthscale settings).
+
+    Returns name → (KernelSpec, raw_params) with parameters set to the
+    study's values.
+    """
+    from .bijectors import softplus_inv
+    import jax.numpy as jnp
+
+    def set_p(spec: KernelSpec, settings):
+        raw = np.array(spec.init_raw_params(dtype=jnp.float64))
+        for (i, j, slot), val in settings.items():
+            raw[i, j, slot] = float(np.log(np.expm1(val)))
+        return jnp.asarray(raw)
+
+    out = {}
+    # y1: Matern12(t; v=1, ls=1) + Categorical(unit; v=2)
+    s1 = KernelSpec((
+        (Primitive("matern12", 2),),
+        (Primitive("categorical", 0),),
+    ))
+    out["y1"] = (s1, set_p(s1, {(0, 0, 0): 1.0, (0, 0, 1): 1.0,
+                                (1, 0, 0): 2.0}))
+    # y2: Matern12(t; ls=.5) * Cat(unit) + Periodic(t; v=2, period=.5)
+    s2 = KernelSpec((
+        (Primitive("matern12", 2), Primitive("categorical", 0)),
+        (Primitive("periodic", 2),),
+    ))
+    out["y2"] = (s2, set_p(s2, {(0, 0, 0): 1.0, (0, 0, 1): 0.5,
+                                (0, 1, 0): 1.0,
+                                (1, 0, 0): 2.0, (1, 0, 1): 1.0,
+                                (1, 0, 2): 0.5}))
+    # y3: Cat(unit; v=2) + Cat(treat) * Linear(t)
+    s3 = KernelSpec((
+        (Primitive("categorical", 0),),
+        (Primitive("categorical", 1), Primitive("linear", 2)),
+    ))
+    out["y3"] = (s3, set_p(s3, {(0, 0, 0): 2.0, (1, 0, 0): 1.0,
+                                (1, 1, 0): 1.0}))
+    # y4: Cat(treat; v=1.5)*Poly(t; deg3, offset .1) + Cat(unit; v=1.5)*SE(t; ls=.5)
+    s4 = KernelSpec((
+        (Primitive("categorical", 1),
+         Primitive("polynomial", 2, degree=3.0)),
+        (Primitive("categorical", 0),
+         Primitive("squared_exponential", 2)),
+    ))
+    out["y4"] = (s4, set_p(s4, {(0, 0, 0): 1.5, (0, 1, 0): 1.0,
+                                (0, 1, 2): 0.1,
+                                (1, 0, 0): 1.5, (1, 1, 0): 1.0,
+                                (1, 1, 1): 0.5}))
+    return out
+
+
+def simulate_gp_outcomes(
+    X: np.ndarray,
+    spec: KernelSpec,
+    raw_params,
+    noise_sd: float = 0.3,
+    num_outcomes: int = 1,
+    seed: Optional[int] = None,
+    likelihood: str = "gaussian",
+) -> np.ndarray:
+    """Draw outcomes from a GP with the given kernel + observation model
+    (the sim harness's generator, sim_waveome_hpc_run.py:90-190)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    N = X.shape[0]
+    K = np.asarray(gram(spec, raw_params, jnp.asarray(X, jnp.float64)))
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(N))
+    F = L @ rng.normal(size=(N, num_outcomes))
+    if likelihood == "gaussian":
+        return F + noise_sd * rng.normal(size=F.shape)
+    if likelihood == "poisson":
+        return rng.poisson(np.exp(F)).astype(float)
+    if likelihood in ("negative_binomial", "negativebinomial"):
+        alpha = noise_sd  # dispersion
+        m = np.exp(F)
+        r = 1.0 / alpha
+        p = r / (m + r)
+        return rng.negative_binomial(r, p).astype(float)
+    raise ValueError(f"unsupported simulation likelihood {likelihood}")
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics (sim_waveome_hpc_run.py:370-451)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kl(mu_true, var_true, mu_est, var_est):
+    """Pointwise KL(N_true ‖ N_est), averaged — the harness's
+    KL-to-truth metric (calc_kl_all)."""
+    mu_true = np.asarray(mu_true).reshape(-1)
+    var_true = np.asarray(var_true).reshape(-1)
+    mu_est = np.asarray(mu_est).reshape(-1)
+    var_est = np.asarray(var_est).reshape(-1)
+    kl = 0.5 * (
+        np.log(var_est / var_true)
+        + (var_true + (mu_true - mu_est) ** 2) / var_est
+        - 1.0
+    )
+    return float(np.mean(kl))
+
+
+def holdout_mse(y_true, y_pred) -> float:
+    return float(np.mean(
+        (np.asarray(y_true).reshape(-1) - np.asarray(y_pred).reshape(-1))
+        ** 2
+    ))
+
+
+def features_in_name(kernel_name: str) -> List[int]:
+    """Feature indices appearing in a fitted kernel-name string."""
+    import re
+
+    return sorted({int(d) for d in re.findall(r"\[(\d+)\]", kernel_name)})
+
+
+def feature_recovery_score(true_features: Sequence[int],
+                           kernel_name: str) -> Dict[str, float]:
+    """Precision/recall of recovered features vs ground truth
+    (retrieve_features_in_models, sim_waveome_hpc_run.py:192-219)."""
+    found = set(features_in_name(kernel_name))
+    truth = set(true_features)
+    tp = len(found & truth)
+    precision = tp / len(found) if found else 0.0
+    recall = tp / len(truth) if truth else 1.0
+    return {"precision": precision, "recall": recall,
+            "exact": float(found == truth)}
