@@ -405,6 +405,43 @@ class GPSearch:
         )
         return self.mo_result
 
+    def run_penalized_search(self, *args, **kwargs):
+        """Deprecated in the reference (model_search.py:957-959)."""
+        raise NotImplementedError(
+            "run_penalized_search is deprecated; use penalized_optimization"
+            " or multioutput_lam_search instead."
+        )
+
+    def plot_latent_processes(self, x_axis_label=None, **kwargs):
+        from .plots import plot_latent_processes
+
+        assert hasattr(self, "mo_result"), (
+            "Run multioutput_penalized_optimization first"
+        )
+        res = self.mo_result
+        if isinstance(res, dict):
+            res = res["final_model"]
+        x_idx = (self.feat_names.index(x_axis_label)
+                 if x_axis_label else (self.cont_idx or [0])[0])
+        return plot_latent_processes(res, self.X.to_numpy(), x_idx=x_idx,
+                                     **kwargs)
+
+    def plot_multioutput_predictions(self, x_axis_label=None, **kwargs):
+        from .plots import plot_multioutput_predictions
+
+        assert hasattr(self, "mo_result"), (
+            "Run multioutput_penalized_optimization first"
+        )
+        res = self.mo_result
+        if isinstance(res, dict):
+            res = res["final_model"]
+        x_idx = (self.feat_names.index(x_axis_label)
+                 if x_axis_label else (self.cont_idx or [0])[0])
+        return plot_multioutput_predictions(
+            res, self.X.to_numpy(), self.Y.to_numpy(), x_idx=x_idx,
+            out_names=self.out_names, **kwargs,
+        )
+
     def multioutput_lam_search(self, **kwargs):
         from .search.lam import multioutput_lam_search
 

@@ -33,3 +33,43 @@ def check_if_model_exists(model_name: str, model_list: List[str]) -> bool:
         if terms == model_name_split_ordered:
             return True
     return False
+
+
+def print_kernel_names(spec, with_idx: bool = True):
+    """Kernel-name string(s) from a KernelSpec (utilities.py:366-383).
+
+    Returns a list of component names for additive kernels, a single
+    string otherwise — matching the reference's return-shape quirk.
+    """
+    names = list(spec.component_names())
+    if len(names) == 1:
+        return names[0]
+    return names
+
+
+def convert_data_to_tensors(X, Y, dtype=None):
+    """(X, Y) numpy → device arrays at default float (utilities.py:67-74)."""
+    import jax.numpy as jnp
+
+    from .config import default_float
+
+    dtype = dtype or default_float()
+    return jnp.asarray(X, dtype=dtype), jnp.asarray(Y, dtype=dtype)
+
+
+def variance_contributions(spec, raw, lik_name: str = "gaussian",
+                           lik_variance: float = None, residuals=None):
+    """Legacy variance-parameter attribution (utilities.py:403-485):
+    per-additive-component variance (products multiply factor variances)
+    plus the likelihood-variance share last."""
+    import numpy as np
+
+    from .kernels.gram import component_variances
+
+    out = [round(float(v), 3)
+           for v in np.asarray(component_variances(spec, raw))]
+    if lik_name == "gaussian" and lik_variance is not None:
+        out.append(round(float(lik_variance), 3))
+    elif residuals is not None:
+        out.append(float(np.std(np.asarray(residuals)) ** 2))
+    return out
