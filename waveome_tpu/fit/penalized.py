@@ -97,12 +97,24 @@ def penalized_fit(
     importance_type: str = "log_bf",
     key: Optional[jax.Array] = None,
     compute_importances: bool = True,
+    use_collapsed: bool = True,
 ) -> PenalizedFitResult:
     """Full per-outcome penalized pipeline (jit/vmap-safe)."""
     mask = svgp.train_mask(config, params0)
     N = X.shape[0]
     num_var = config.spec.num_variance_prior_params()
     dtype = params0["kernel_raw"].dtype
+
+    # Gaussian fast path: optimize the collapsed (Titsias) bound over the
+    # ~10 hyperparameters only; the optimal q is closed-form and is
+    # materialized afterwards so the rest of the pipeline (masks,
+    # importances, prediction) is unchanged. Mathematically identical to
+    # the joint (q, θ) optimization the reference's scipy branch performs.
+    collapsed = use_collapsed and config.likelihood.name == "gaussian"
+    if collapsed:
+        mask = dict(mask)
+        mask["q_mu"] = jnp.zeros_like(mask["q_mu"])
+        mask["q_sqrt_raw"] = jnp.zeros_like(mask["q_sqrt_raw"])
 
     auto_factor = penalization_factor is None
     if auto_factor:
@@ -117,6 +129,14 @@ def penalized_fit(
         factor0 = jnp.asarray(penalization_factor, dtype=dtype)
 
     def loss_with(factor):
+        if collapsed:
+            def loss(p):
+                obj = svgp.collapsed_elbo(config, p, X, Y) + (
+                    svgp.log_prior_density(config, p, factor)
+                )
+                return -obj
+            return loss
+
         def loss(p):
             return svgp.training_loss(config, p, X, Y,
                                       penalization_factor=factor)
@@ -139,6 +159,9 @@ def penalized_fit(
         return res.params, res.loss, res.num_iters
 
     params, loss, iters = fit(params0, factor0)
+    if collapsed:
+        q_mu, q_sqrt = svgp.optimal_q(config, params, X, Y)
+        params = dict(params, q_mu=q_mu, q_sqrt_raw=q_sqrt)
 
     if auto_factor and num_factor_iter > 0:
         # iterative re-estimation (model_search.py:332-375)
@@ -151,6 +174,10 @@ def penalized_fit(
             larger = new_factor > factor
             should_stop = close | larger
             new_params, new_loss, _ = fit(params, new_factor)
+            if collapsed:
+                q_mu, q_sqrt = svgp.optimal_q(config, new_params, X, Y)
+                new_params = dict(new_params, q_mu=q_mu,
+                                  q_sqrt_raw=q_sqrt)
             # keep previous params when stopping (reference restores on
             # larger factor; on 'close' it just breaks before refitting)
             out_params = jax.tree.map(

@@ -291,6 +291,81 @@ def training_loss(config: SVGPConfig, params, X, Y,
 
 
 # ---------------------------------------------------------------------------
+# collapsed (SGPR / Titsias) bound — Gaussian likelihood fast path
+# ---------------------------------------------------------------------------
+
+
+def collapsed_elbo(config: SVGPConfig, params, X, Y, component_mask=None,
+                   coded=None, factor_mask=None):
+    """max_q ELBO in closed form (Gaussian likelihood only).
+
+    log N(y; c, Qnn + σ²I) − tr(Knn − Qnn)/(2σ²), computed via the
+    standard B = I + AAᵀ/σ² factorization. Optimizing this over
+    hyperparameters is exactly equivalent to jointly optimizing the
+    explicit-q ELBO (the reference's scipy path optimizes (q, θ) jointly,
+    model_classes.py:299-342) but exposes only ~10 parameters to L-BFGS —
+    the TPU fast path for the penalized pipeline.
+    """
+    assert config.likelihood.name == "gaussian"
+    Z = params["z"]
+    M = Z.shape[0]
+    N = X.shape[0]
+    dtype = X.dtype
+    jitter = default_jitter()
+    noise = config.likelihood.constrain(params["lik_raw"])[0]
+
+    Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
+    Kuu = Kuu + jitter * jnp.eye(M, dtype=dtype)
+    L = jnp.linalg.cholesky(Kuu)
+    Kuf = _K(config, params, Z, X, component_mask, coded, factor_mask)
+    A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)  # (M, N)
+
+    err = (Y - _mean(config, params, X))[:, 0]
+    B = jnp.eye(M, dtype=dtype) + (A @ A.T) / noise
+    LB = jnp.linalg.cholesky(B)
+    Aerr = A @ err / noise
+    c = jax.scipy.linalg.solve_triangular(LB, Aerr, lower=True)
+
+    Kdiag = _Kdiag(config, params, X, component_mask, coded, factor_mask)
+    bound = (
+        -0.5 * N * jnp.log(2.0 * math.pi)
+        - jnp.sum(jnp.log(jnp.diag(LB)))
+        - 0.5 * N * jnp.log(noise)
+        - 0.5 * jnp.sum(err * err) / noise
+        + 0.5 * jnp.sum(c * c)
+        - 0.5 * (jnp.sum(Kdiag) - jnp.sum(A * A)) / noise
+    )
+    return bound
+
+
+def optimal_q(config: SVGPConfig, params, X, Y, component_mask=None,
+              coded=None, factor_mask=None):
+    """Closed-form optimal whitened (q_mu, q_sqrt) for Gaussian likelihood:
+    Σ = (I + AAᵀ/σ²)⁻¹, q_mu = Σ A (y−c)/σ², q_sqrt = chol(Σ)."""
+    Z = params["z"]
+    M = Z.shape[0]
+    dtype = X.dtype
+    jitter = default_jitter()
+    noise = config.likelihood.constrain(params["lik_raw"])[0]
+    Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
+    Kuu = Kuu + jitter * jnp.eye(M, dtype=dtype)
+    L = jnp.linalg.cholesky(Kuu)
+    Kuf = _K(config, params, Z, X, component_mask, coded, factor_mask)
+    A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)
+    err = Y - _mean(config, params, X)
+    B = jnp.eye(M, dtype=dtype) + (A @ A.T) / noise
+    LB = jnp.linalg.cholesky(B)
+    Sigma = jax.scipy.linalg.cho_solve((LB, True),
+                                       jnp.eye(M, dtype=dtype))
+    Sigma = 0.5 * (Sigma + Sigma.T)
+    q_mu = Sigma @ (A @ err) / noise
+    q_sqrt = jnp.linalg.cholesky(
+        Sigma + 1e-12 * jnp.eye(M, dtype=dtype)
+    )
+    return q_mu, q_sqrt
+
+
+# ---------------------------------------------------------------------------
 # prediction
 # ---------------------------------------------------------------------------
 
