@@ -46,6 +46,14 @@ def simulate(n_units=50, n_per=10, n_outcomes=256, seed=0):
 
 def main():
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     import waveome_tpu

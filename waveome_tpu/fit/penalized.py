@@ -115,6 +115,9 @@ def penalized_fit(
         mask = dict(mask)
         mask["q_mu"] = jnp.zeros_like(mask["q_mu"])
         mask["q_sqrt_raw"] = jnp.zeros_like(mask["q_sqrt_raw"])
+        if config.num_inducing >= X.shape[0]:
+            # Z = X frozen in the exact-MLL path
+            mask["z"] = jnp.zeros_like(mask["z"])
 
     auto_factor = penalization_factor is None
     if auto_factor:
@@ -128,18 +131,43 @@ def penalized_fit(
     else:
         factor0 = jnp.asarray(penalization_factor, dtype=dtype)
 
+    # float32 guard: a smooth barrier keeps component variances out of the
+    # regions where f32 marginal-likelihood evaluation noise dwarfs real
+    # objective changes (variances ≫ data scale are never meaningful for
+    # standardized inputs; f64 parity mode is unaffected).
+    f32_mode = dtype == jnp.float32
+    var_cap = 1e3
+    if f32_mode:
+        # 1e-8 gradient norms are unreachable in f32 — don't burn the full
+        # iteration budget chasing them
+        tol = max(tol, 3e-5)
+
+    def variance_barrier(p):
+        if not f32_mode:
+            return jnp.zeros((), dtype=dtype)
+        from ..kernels.gram import component_variances as _cv
+
+        v = _cv(config.spec, p["kernel_raw"])
+        return jnp.sum(jax.nn.relu(v - var_cap) ** 2)
+
+    exact_gaussian = collapsed and config.num_inducing >= N
+
     def loss_with(factor):
         if collapsed:
             def loss(p):
-                obj = svgp.collapsed_elbo(config, p, X, Y) + (
-                    svgp.log_prior_density(config, p, factor)
-                )
-                return -obj
+                if exact_gaussian:
+                    fitobj = svgp.exact_mll(config, p, X, Y)
+                else:
+                    fitobj = svgp.collapsed_elbo(config, p, X, Y)
+                obj = fitobj + svgp.log_prior_density(config, p, factor)
+                return -obj + variance_barrier(p)
             return loss
 
         def loss(p):
             return svgp.training_loss(config, p, X, Y,
-                                      penalization_factor=factor)
+                                      penalization_factor=factor) + (
+                variance_barrier(p)
+            )
         return loss
 
     def fit(p, factor):

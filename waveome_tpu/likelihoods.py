@@ -101,6 +101,14 @@ class Likelihood:
             if bij == "exp":
                 outs.append(jnp.exp(raw[i]))
             else:
+                # float32 fast path: the Gaussian noise floor is raised to
+                # 1e-4 — below that, f32 evaluation noise in the marginal-
+                # likelihood terms (~‖y‖²/σ²) dwarfs real objective changes
+                # and the optimizer chases garbage. float64 keeps the
+                # reference's 1e-6 (GPflow) bound.
+                if (self.name == "gaussian"
+                        and raw.dtype == jnp.float32):
+                    lo = max(lo, 1e-4)
                 outs.append(bijectors.softplus(raw[i]) + lo)
         if not outs:
             return jnp.zeros((0,), dtype=raw.dtype)

@@ -295,6 +295,32 @@ def training_loss(config: SVGPConfig, params, X, Y,
 # ---------------------------------------------------------------------------
 
 
+def exact_mll(config: SVGPConfig, params, X, Y, component_mask=None,
+              coded=None, factor_mask=None):
+    """Exact Gaussian log marginal likelihood (Cholesky of K+σ²I).
+
+    Used as the Gaussian fast-path objective when the inducing set is the
+    full data (the reference BaseGP default, model_classes.py:98-107) —
+    mathematically the M=N collapsed bound without its
+    float32-catastrophic trace/quad cancellations: every term here is a
+    stable Cholesky solve.
+    """
+    assert config.likelihood.name == "gaussian"
+    N = X.shape[0]
+    dtype = X.dtype
+    noise = config.likelihood.constrain(params["lik_raw"])[0]
+    K = _K(config, params, X, X, component_mask, coded, factor_mask)
+    Ky = K + noise * jnp.eye(N, dtype=dtype)
+    L = jnp.linalg.cholesky(Ky)
+    err = (Y - _mean(config, params, X))[:, 0]
+    a = jax.scipy.linalg.cho_solve((L, True), err)
+    return (
+        -0.5 * jnp.sum(err * a)
+        - jnp.sum(jnp.log(jnp.diag(L)))
+        - 0.5 * N * math.log(2.0 * math.pi)
+    )
+
+
 def collapsed_elbo(config: SVGPConfig, params, X, Y, component_mask=None,
                    coded=None, factor_mask=None):
     """max_q ELBO in closed form (Gaussian likelihood only).
@@ -323,16 +349,22 @@ def collapsed_elbo(config: SVGPConfig, params, X, Y, component_mask=None,
     err = (Y - _mean(config, params, X))[:, 0]
     B = jnp.eye(M, dtype=dtype) + (A @ A.T) / noise
     LB = jnp.linalg.cholesky(B)
-    Aerr = A @ err / noise
-    c = jax.scipy.linalg.solve_triangular(LB, Aerr, lower=True)
+    # Quadratic form in residual form: errᵀ(Q+σ²I)⁻¹err = errᵀr/σ² with
+    # r = err − AᵀB⁻¹A err/σ². The textbook −½‖err‖²/σ² + ½‖c‖² form
+    # catastrophically cancels in float32 when σ² approaches its floor
+    # (both terms ~‖err‖²/σ² ≫ their difference); the residual form keeps
+    # every intermediate O(‖err‖²).
+    Aerr = A @ err
+    w = jax.scipy.linalg.cho_solve((LB, True), Aerr) / noise
+    r = err - A.T @ w
+    quad = jnp.sum(err * r) / noise
 
     Kdiag = _Kdiag(config, params, X, component_mask, coded, factor_mask)
     bound = (
         -0.5 * N * jnp.log(2.0 * math.pi)
         - jnp.sum(jnp.log(jnp.diag(LB)))
         - 0.5 * N * jnp.log(noise)
-        - 0.5 * jnp.sum(err * err) / noise
-        + 0.5 * jnp.sum(c * c)
+        - 0.5 * quad
         - 0.5 * (jnp.sum(Kdiag) - jnp.sum(A * A)) / noise
     )
     return bound
