@@ -9,6 +9,10 @@ Run:  python examples/quickstart.py  [--outdir /tmp/waveome_quickstart]
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
 
 import numpy as np
 import pandas as pd

@@ -103,8 +103,13 @@ def simulate_gp_outcomes(
 
     rng = np.random.default_rng(seed)
     N = X.shape[0]
-    K = np.asarray(gram(spec, raw_params, jnp.asarray(X, jnp.float64)))
-    L = np.linalg.cholesky(K + 1e-8 * np.eye(N))
+    # host-side simulator: factorize in numpy float64 with a jitter scaled
+    # to the gram magnitude (the device gram may be float32)
+    K = np.asarray(
+        gram(spec, raw_params, jnp.asarray(X, jnp.float64))
+    ).astype(np.float64)
+    jit = 1e-6 * max(float(np.max(np.diag(K))), 1.0)
+    L = np.linalg.cholesky(K + jit * np.eye(N))
     F = L @ rng.normal(size=(N, num_outcomes))
     if likelihood == "gaussian":
         return F + noise_sd * rng.normal(size=F.shape)
