@@ -57,20 +57,26 @@ def fit_outcomes_penalized(
     from ..config import default_float
 
     dtype = dtype or default_float()
-    X = jnp.asarray(X, dtype=dtype)
-    Ys = jnp.asarray(Ys, dtype=dtype)
-    N, B = Ys.shape
+    # NOTE: keep host copies for closure-free jit argument passing — a
+    # device array captured in a jit closure forces a device→host readback
+    # at LOWERING time (catastrophically slow over remote-TPU tunnels).
+    X_np = np.asarray(X, dtype=np.float64)
+    Ys_np = np.asarray(Ys, dtype=np.float64)
+    N, B = Ys_np.shape
 
     config = svgp.make_config(
-        spec, likelihood, num_data=N, input_dim=X.shape[1],
+        spec, likelihood, num_data=N, input_dim=X_np.shape[1],
         num_inducing_points=num_inducing_points,
     )
-    params0 = svgp.init_params(config, X, key=jax.random.PRNGKey(seed),
-                               dtype=dtype)
+    params0 = jax.tree.map(
+        np.asarray,
+        svgp.init_params(config, jnp.asarray(X_np, dtype=dtype),
+                         key=jax.random.PRNGKey(seed), dtype=dtype),
+    )
 
-    def pipeline(y, key):
+    def pipeline(y, key, X, p0):
         return penalized_fit(
-            config, params0, X, y[:, None],
+            config, p0, X, y[:, None],
             penalization_factor=penalization_factor,
             num_factor_iter=num_factor_iter,
             num_restart=num_restart,
@@ -81,22 +87,29 @@ def fit_outcomes_penalized(
             compute_importances=compute_importances,
         )
 
+    fn = jax.jit(jax.vmap(pipeline, in_axes=(0, 0, None, None)))
+    X_dev = jnp.asarray(X_np, dtype=dtype)
+    p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0)
+
     if use_mesh and len(devices or jax.devices()) > 1:
         m = meshlib.outcome_mesh(devices)
         n_dev = len(m.devices.reshape(-1))
         B_pad = meshlib.pad_batch(B, n_dev)
-        Ys_cols = jnp.concatenate(
-            [Ys.T, jnp.ones((B_pad - B, N), dtype=dtype)], axis=0
+        Ys_cols = jnp.asarray(
+            np.concatenate(
+                [Ys_np.T, np.ones((B_pad - B, N))], axis=0
+            ), dtype=dtype,
         )
         keys = jax.random.split(jax.random.PRNGKey(seed), B_pad)
         Ys_cols = meshlib.shard_leading_axis(Ys_cols, m)
         keys = meshlib.shard_leading_axis(keys, m)
-        fn = jax.jit(jax.vmap(pipeline))
-        results = fn(Ys_cols, keys)
+        X_dev = meshlib.replicate(X_dev, m)
+        p0_dev = meshlib.replicate(p0_dev, m)
+        results = fn(Ys_cols, keys, X_dev, p0_dev)
         results = jax.tree.map(lambda a: a[:B], results)
     else:
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
-        fn = jax.jit(jax.vmap(pipeline))
-        results = fn(Ys.T, keys)
+        results = fn(jnp.asarray(Ys_np.T, dtype=dtype), keys, X_dev,
+                     p0_dev)
 
     return BatchFitResult(config=config, results=results, num_outcomes=B)

@@ -312,9 +312,12 @@ def fit_lmc(
     NatGrad on each latent's (q_mu, q_sqrt); patience early stop; NaN
     rollback to 100-iter checkpoints."""
     dtype = params0["W"].dtype
-    X = jnp.asarray(X, dtype=dtype)
-    Y = jnp.asarray(Y, dtype=dtype)
-    coded = lmc_coded(config)
+    # host copies — device arrays enter the jitted loop as ARGUMENTS (a
+    # closure-captured device array costs a tunnel readback per capture at
+    # lowering time on remote TPUs)
+    X_np = np.asarray(X, dtype=np.float64)
+    Y_np = np.asarray(Y, dtype=np.float64)
+    coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
     # frozen latent variances (model_classes.py:1380-1383): adam mask
     kmask = np.ones(params0["kernel_raw"].shape, dtype=bool)
@@ -336,16 +339,18 @@ def fit_lmc(
 
     opt = optax.adam(adam_learning_rate)
 
-    def total_loss_fn(p):
-        return lmc_training_loss(config, p, X, Y, coded,
+    def total_loss_fn(p, data):
+        X_, Y_, coded_ = data
+        return lmc_training_loss(config, p, X_, Y_, coded_,
                                  constraint_weight=constraint_weight)[0]
 
-    def data_loss_fn(p):
-        return lmc_training_loss(config, p, X, Y, coded,
+    def data_loss_fn(p, data):
+        X_, Y_, coded_ = data
+        return lmc_training_loss(config, p, X_, Y_, coded_,
                                  constraint_weight=constraint_weight)[1]
 
-    def natgrad_apply(p):
-        grads = jax.grad(total_loss_fn)(p)
+    def natgrad_apply(p, data):
+        grads = jax.grad(total_loss_fn)(p, data)
 
         def one(gm, gs, m, s):
             return natgrad_step(gm[:, None], gs, m[:, None], jnp.tril(s),
@@ -359,12 +364,12 @@ def fit_lmc(
         p["q_sqrt_raw"] = new_sqrt
         return p
 
-    def body(carry):
+    def body(carry, data):
         p, opt_state, snapshot, best_loss, no_improve, it, done = carry
         # natgrad on variational params first (model_classes.py:1525-1527)
-        p = natgrad_apply(p)
+        p = natgrad_apply(p, data)
         # adam step with clipped grads on the rest
-        loss_val, grads = jax.value_and_grad(total_loss_fn)(p)
+        loss_val, grads = jax.value_and_grad(total_loss_fn)(p, data)
         grads = jax.tree.map(
             lambda g, m: jnp.where(m, g, 0.0), grads, adam_mask
         )
@@ -379,7 +384,7 @@ def fit_lmc(
         updates, opt_state = opt.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
 
-        data_loss = data_loss_fn(p)
+        data_loss = data_loss_fn(p, data)
         bad = ~jnp.isfinite(data_loss)
         p = jax.tree.map(
             lambda a, b: jnp.where(bad, a, b), snapshot, p
@@ -400,12 +405,23 @@ def fit_lmc(
         return (it < num_opt_iter) & ~done
 
     init = (
-        params0, opt.init(params0), params0,
-        jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(0), jnp.asarray(0),
-        jnp.asarray(False),
+        jax.tree.map(np.asarray, params0),
+        jax.tree.map(np.asarray, opt.init(params0)),
+        jax.tree.map(np.asarray, params0),
+        np.asarray(np.inf, dtype=dtype), np.asarray(0), np.asarray(0),
+        np.asarray(False),
     )
-    run = jax.jit(lambda c: jax.lax.while_loop(cond, body, c))
-    p, _, _, best_loss, _, it, _ = run(init)
+
+    @jax.jit
+    def run(c, data):
+        return jax.lax.while_loop(cond, lambda cc: body(cc, data), c)
+
+    data = (
+        jnp.asarray(X_np, dtype=dtype),
+        jnp.asarray(Y_np, dtype=dtype),
+        jax.tree.map(jnp.asarray, coded_np),
+    )
+    p, _, _, best_loss, _, it, _ = run(init, data)
     return p, float(best_loss), int(it)
 
 

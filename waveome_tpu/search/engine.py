@@ -69,9 +69,11 @@ def fit_candidates(
     rounded to 2 decimals, or negative holdout log-density when ``split``.
     """
     dtype = default_float()
-    X = jnp.asarray(X, dtype=dtype)
-    Y = jnp.asarray(Y, dtype=dtype)
-    N = X.shape[0]
+    # host copies; device arrays must be jit ARGUMENTS, not closure
+    # captures (remote-TPU lowering reads back every captured device array)
+    X_np = np.asarray(X, dtype=np.float64)
+    Y_np = np.asarray(Y, dtype=np.float64)
+    N = X_np.shape[0]
     n_cand = len(specs)
 
     if pad_shape is None:
@@ -83,7 +85,7 @@ def fit_candidates(
 
     base_spec = specs[0].padded(C, F)
     config = svgp.make_config(
-        base_spec, likelihood, num_data=N, input_dim=X.shape[1],
+        base_spec, likelihood, num_data=N, input_dim=X_np.shape[1],
         num_inducing_points=num_inducing_points, coded_structure=True,
     )
 
@@ -96,9 +98,10 @@ def fit_candidates(
         for s in specs
     ])
 
-    template = svgp.init_params(config, X,
-                                key=jax.random.PRNGKey(random_seed or 0),
-                                dtype=dtype)
+    template = jax.tree.map(np.asarray, svgp.init_params(
+        config, jnp.asarray(X_np, dtype=dtype),
+        key=jax.random.PRNGKey(random_seed or 0), dtype=dtype,
+    ))
     M = config.num_inducing
 
     seed = random_seed if random_seed is not None else 0
@@ -107,20 +110,21 @@ def fit_candidates(
     keys = keys.reshape(n_cand, n_fits, 2)
 
     if split:
-        Xh = jnp.asarray(X_holdout, dtype=dtype)
-        Yh = jnp.asarray(Y_holdout, dtype=dtype)
+        Xh_np = np.asarray(X_holdout, dtype=np.float64)
+        Yh_np = np.asarray(Y_holdout, dtype=np.float64)
 
-    def one_fit(coded_i, raw_i, kmask_i, key, randomize):
+    def one_fit(coded_i, raw_i, kmask_i, key, randomize, data):
+        X, Y, tmpl, Xh, Yh = data
         mask = {
             "kernel_raw": kmask_i > 0,
             "mean_c": jnp.ones((1,), dtype=bool),
-            "lik_raw": jnp.ones_like(template["lik_raw"], dtype=bool),
-            "q_mu": jnp.ones_like(template["q_mu"], dtype=bool),
+            "lik_raw": jnp.ones_like(tmpl["lik_raw"], dtype=bool),
+            "q_mu": jnp.ones_like(tmpl["q_mu"], dtype=bool),
             "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
-            "z": jnp.full(template["z"].shape, config.train_inducing,
+            "z": jnp.full(tmpl["z"].shape, config.train_inducing,
                           dtype=bool),
         }
-        p0 = {k: v for k, v in template.items()}
+        p0 = {k: v for k, v in tmpl.items()}
         p0["kernel_raw"] = raw_i
         if randomize:
             k1, k2, k4 = jax.random.split(key, 3)
@@ -147,12 +151,13 @@ def fit_candidates(
             hold = jnp.zeros((), dtype=dtype)
         return res.params, loglik, hold
 
-    def per_candidate(coded_i, raw_i, kmask_i, keys_i):
+    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data):
         if n_fits == 1:
             return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
-                           randomize=False)
+                           randomize=False, data=data)
         params, logliks, holds = jax.vmap(
-            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True)
+            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True,
+                              data=data)
         )(keys_i)
         # best restart by max loglik (random_restart_optimize,
         # model_classes.py:511-522), NaN-safe
@@ -164,8 +169,18 @@ def fit_candidates(
             holds[best],
         )
 
-    fit_all = jax.jit(jax.vmap(per_candidate))
-    params, logliks, holds = fit_all(coded, raw0, kmask, keys)
+    fit_all = jax.jit(jax.vmap(per_candidate,
+                               in_axes=(0, 0, 0, 0, None)))
+    data = (
+        jnp.asarray(X_np, dtype=dtype),
+        jnp.asarray(Y_np, dtype=dtype),
+        jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), template),
+        jnp.asarray(Xh_np, dtype=dtype) if split else jnp.zeros(
+            (1, X_np.shape[1]), dtype=dtype),
+        jnp.asarray(Yh_np, dtype=dtype) if split else jnp.zeros(
+            (1, 1), dtype=dtype),
+    )
+    params, logliks, holds = fit_all(coded, raw0, kmask, keys, data)
 
     logliks = np.asarray(logliks)
     holds = np.asarray(holds)

@@ -80,22 +80,29 @@ def penalization_search(
     factor_arr = jnp.asarray([factors[f] for f, _ in ff], dtype=dtype)
     weight_arr = Wtrain[jnp.asarray([k for _, k in ff])]
 
-    def one_cell(factor, w):
+    def one_cell(factor, w, data):
+        X_, Y_, p0 = data
+
         def loss(p):
-            return svgp.training_loss(config, p, X, Y,
+            return svgp.training_loss(config, p, X_, Y_,
                                       penalization_factor=factor,
                                       weights=w)
 
-        res = lbfgs_fit(loss, params0, mask=mask, max_iter=max_iter)
-        ld = svgp.predict_log_density(config, res.params, X, Y)
+        res = lbfgs_fit(loss, p0, mask=mask, max_iter=max_iter)
+        ld = svgp.predict_log_density(config, res.params, X_, Y_)
         holdout_mask = 1.0 - w
         mean_ld = jnp.sum(ld * holdout_mask) / jnp.maximum(
             jnp.sum(holdout_mask), 1.0
         )
         return mean_ld
 
+    # device arrays go in as jit arguments (closure-captured device arrays
+    # cost a tunnel readback per capture at lowering time on remote TPUs)
+    data = (X, Y, params0)
     cell_lls = np.asarray(
-        jax.jit(jax.vmap(one_cell))(factor_arr, weight_arr)
+        jax.jit(jax.vmap(one_cell, in_axes=(0, 0, None)))(
+            factor_arr, weight_arr, data
+        )
     ).reshape(len(factors), k_fold)
 
     # 1-SE-rule best factor (model_classes.py:961-977)
@@ -186,19 +193,22 @@ def lam_search(
     Yj = jnp.asarray(np.asarray(Y), dtype=dtype).reshape(-1, 1)
 
     def fold_cells(lam, gam):
-        def one(w):
+        def one(w, data):
+            X_, Y_ = data
             (res, config) = kernel_test_reg(
-                Xj, Yj, spec, likelihood=likelihood, lasso=True, lam=lam,
+                X_, Y_, spec, likelihood=likelihood, lasso=True, lam=lam,
                 gam=gam, base_variances=base_variances, num_restarts=1,
                 random_init=False, max_iter=max_iter,
                 num_inducing_points=num_inducing_points, weights=w,
                 random_seed=random_seed,
             )
-            ld = svgp.predict_log_density(config, res.params, Xj, Yj)
+            ld = svgp.predict_log_density(config, res.params, X_, Y_)
             hm = 1.0 - w
             return jnp.sum(ld * hm) / jnp.maximum(jnp.sum(hm), 1.0)
 
-        return np.asarray(jax.jit(jax.vmap(one))(Wtrain))
+        return np.asarray(
+            jax.jit(jax.vmap(one, in_axes=(0, None)))(Wtrain, (Xj, Yj))
+        )
 
     for l_val in lam_list:
         if stop_now:
