@@ -78,6 +78,7 @@ def main():
         num_factor_iter=0,
         max_iter=max_iter,
         use_mesh=len(jax.devices()) > 1,
+        device_chunk=int(os.environ.get("BENCH_DEVICE_CHUNK", "8")),
     )
 
     # warm-up / compile (same shapes)

@@ -2,6 +2,7 @@ from .batch import BatchFitResult, fit_outcomes_penalized
 from .penalized import (
     PenalizedFitResult,
     auto_penalization_factor,
+    penalized_finalize,
     penalized_fit,
     prune_masks,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "fit_outcomes_penalized",
     "PenalizedFitResult",
     "auto_penalization_factor",
+    "penalized_finalize",
     "penalized_fit",
     "prune_masks",
 ]

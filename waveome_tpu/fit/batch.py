@@ -18,8 +18,13 @@ import numpy as np
 
 from ..kernels.spec import KernelSpec
 from ..models import svgp
+from ..optimize.lbfgs import LBFGSCarry, lbfgs_fit
 from ..parallel import mesh as meshlib
-from .penalized import PenalizedFitResult, penalized_fit
+from .penalized import (
+    PenalizedFitResult,
+    auto_penalization_factor,
+    penalized_fit,
+)
 
 
 class BatchFitResult(NamedTuple):
@@ -48,6 +53,7 @@ def fit_outcomes_penalized(
     seed: int = 0,
     compute_importances: bool = True,
     dtype=None,
+    device_chunk: Optional[int] = None,
 ) -> BatchFitResult:
     """Fit every column of ``Ys`` (N, B) with the penalized pipeline.
 
@@ -74,20 +80,63 @@ def fit_outcomes_penalized(
                          key=jax.random.PRNGKey(seed), dtype=dtype),
     )
 
-    def pipeline(y, key, X, p0):
+    # staged execution: (1) optimize, (2) prune + importances. Separate
+    # jitted programs compile faster, cache better, and avoid the giant
+    # fused graphs that stress experimental TPU backends.
+    from .penalized import penalized_finalize
+
+    # Gaussian no-factor-iteration case: segmented L-BFGS — the whole
+    # outcome batch advances ``segment_iters`` iterations per device call
+    # (bounded call duration for remote transports, full batch width for
+    # utilization), with optimizer state carried across calls.
+    segmented = (
+        config.likelihood.name == "gaussian"
+        and num_factor_iter == 0
+        and num_restart == 0
+        and not (use_mesh and len(devices or jax.devices()) > 1)
+    )
+    if segmented:
+        results = _segmented_gaussian_fit(
+            config, params0, X_np, Ys_np,
+            penalization_factor=penalization_factor,
+            max_iter=max_iter,
+            segment_iters=device_chunk_iters(device_chunk, max_iter, B),
+            var_cutoff=var_cutoff,
+            importance_type=importance_type,
+            compute_importances=compute_importances,
+            dtype=dtype,
+            seed=seed,
+        )
+        return BatchFitResult(config=config, results=results,
+                              num_outcomes=B)
+
+    def fit_stage(y, key, X, p0):
         return penalized_fit(
             config, p0, X, y[:, None],
             penalization_factor=penalization_factor,
             num_factor_iter=num_factor_iter,
             num_restart=num_restart,
             max_iter=max_iter,
-            var_cutoff=var_cutoff,
-            importance_type=importance_type,
             key=key,
-            compute_importances=compute_importances,
+            stage="fit",
         )
 
-    fn = jax.jit(jax.vmap(pipeline, in_axes=(0, 0, None, None)))
+    def finalize_stage(res, y, X):
+        cm, fm, imp = penalized_finalize(
+            config, res.params, X, y[:, None],
+            var_cutoff=var_cutoff,
+            importance_type=importance_type,
+            compute_importances=compute_importances,
+        )
+        return res._replace(component_mask=cm, factor_mask=fm,
+                            importances=imp)
+
+    fit_fn = jax.jit(jax.vmap(fit_stage, in_axes=(0, 0, None, None)))
+    fin_fn = jax.jit(jax.vmap(finalize_stage, in_axes=(0, 0, None)))
+
+    def fn(ys, keys, X_dev, p0_dev):
+        res = fit_fn(ys, keys, X_dev, p0_dev)
+        return fin_fn(res, ys, X_dev)
     X_dev = jnp.asarray(X_np, dtype=dtype)
     p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0)
 
@@ -109,7 +158,180 @@ def fit_outcomes_penalized(
         results = jax.tree.map(lambda a: a[:B], results)
     else:
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
-        results = fn(jnp.asarray(Ys_np.T, dtype=dtype), keys, X_dev,
-                     p0_dev)
+        Ys_dev = jnp.asarray(Ys_np.T, dtype=dtype)
+        if device_chunk is None or device_chunk >= B:
+            results = fn(Ys_dev, keys, X_dev, p0_dev)
+        else:
+            # Bounded-duration device calls: some remote-TPU transports
+            # kill long-running single executions. Outcomes are
+            # independent, so chunked calls are semantically identical;
+            # async dispatch keeps the device busy across chunks.
+            chunk = device_chunk
+            B_pad = ((B + chunk - 1) // chunk) * chunk
+            if B_pad != B:
+                Ys_dev = jnp.concatenate(
+                    [Ys_dev, jnp.ones((B_pad - B, N), dtype=dtype)], axis=0
+                )
+                keys = jnp.concatenate(
+                    [keys, keys[: B_pad - B]], axis=0
+                )
+            parts = []
+            for lo in range(0, B_pad, chunk):
+                parts.append(fn(Ys_dev[lo:lo + chunk],
+                                keys[lo:lo + chunk], X_dev, p0_dev))
+            results = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[:B], *parts
+            )
 
     return BatchFitResult(config=config, results=results, num_outcomes=B)
+
+
+def device_chunk_iters(device_chunk, max_iter: int, batch: int = 1) -> int:
+    """Segment length heuristic: keep each device call's duration bounded
+    regardless of batch width (remote transports kill long executions)."""
+    if device_chunk is None:
+        return max_iter
+    return max(10, min(100, max_iter, 2048 // max(batch, 1)))
+
+
+def _segmented_gaussian_fit(
+    config,
+    params0_np,
+    X_np,
+    Ys_np,
+    penalization_factor,
+    max_iter: int,
+    segment_iters: int,
+    var_cutoff: float,
+    importance_type: str,
+    compute_importances: bool,
+    dtype,
+    seed: int,
+) -> PenalizedFitResult:
+    """Whole-batch Gaussian penalized fits via segmented L-BFGS.
+
+    Semantics identical to penalized_fit(collapsed, num_factor_iter=0):
+    exact MLL (M=N) / collapsed bound (M<N) + horseshoe prior, optimal-q
+    materialization, pruning, importances.
+    """
+    import jax.numpy as jnp
+
+    from .penalized import penalized_finalize
+
+    N, B = Ys_np.shape
+    num_var = config.spec.num_variance_prior_params()
+    exact_gaussian = config.num_inducing >= N
+    f32_mode = dtype == jnp.float32
+    tol = 3e-5 if f32_mode else 1e-8
+    var_cap = 1e3
+
+    # per-outcome auto factor (host): 2·1.1·σ̂·√N·Φ⁻¹(1−0.1/2p) with σ̂=1
+    # for the no-iteration case (model_search.py:279-283)
+    if penalization_factor is None:
+        factors_np = np.full(
+            B, float(auto_penalization_factor(1.0, N, num_var))
+        )
+    else:
+        factors_np = np.full(B, float(penalization_factor))
+
+    mask_np = jax.tree.map(
+        np.asarray,
+        svgp.train_mask(
+            config,
+            jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np),
+        ),
+    )
+    for k in ("q_mu", "q_sqrt_raw"):
+        mask_np[k] = np.zeros_like(mask_np[k])
+    if exact_gaussian:
+        mask_np["z"] = np.zeros_like(mask_np["z"])
+
+    def make_loss(y, factor, X):
+        def loss(p):
+            if exact_gaussian:
+                fitobj = svgp.exact_mll(config, p, X, y)
+            else:
+                fitobj = svgp.collapsed_elbo(config, p, X, y)
+            obj = fitobj + svgp.log_prior_density(config, p, factor)
+            if f32_mode:
+                from ..kernels.gram import component_variances as _cv
+
+                v = _cv(config.spec, p["kernel_raw"])
+                obj = obj - jnp.sum(jax.nn.relu(v - var_cap) ** 2)
+            return -obj
+
+        return loss
+
+    def first_seg(y, factor, bound, data):
+        X, p0, mask = data
+        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask,
+                         max_iter=bound, tol=tol, return_carry=True)
+
+    def next_seg(carry, y, factor, bound, data):
+        X, p0, mask = data
+        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask,
+                         max_iter=bound, tol=tol, carry=carry,
+                         return_carry=True)
+
+    first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))
+    next_fn = jax.jit(jax.vmap(next_seg, in_axes=(0, 0, 0, None, None)))
+    # (carry is vmapped axis 0; bound and data broadcast)
+
+    X_dev = jnp.asarray(X_np, dtype=dtype)
+    p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np)
+    mask_dev = jax.tree.map(jnp.asarray, mask_np)
+    data = (X_dev, p0_dev, mask_dev)
+    Ys_dev = jnp.asarray(Ys_np.T[:, :, None], dtype=dtype)
+    factors = jnp.asarray(factors_np, dtype=dtype)
+
+    bound = min(segment_iters, max_iter)
+    res, carry = first_fn(Ys_dev, factors, jnp.asarray(bound), data)
+    while bound < max_iter:
+        if bool(jnp.all(res.converged)):
+            break
+        bound = min(bound + segment_iters, max_iter)
+        res, carry = next_fn(carry, Ys_dev, factors, jnp.asarray(bound),
+                             data)
+
+    # optimal-q materialization + finalize in bounded outcome chunks
+    def qstep(p, y, X):
+        q_mu, q_sqrt = svgp.optimal_q(config, p, X, y)
+        return dict(p, q_mu=q_mu, q_sqrt_raw=q_sqrt)
+
+    q_fn = jax.jit(jax.vmap(qstep, in_axes=(0, 0, None)))
+
+    def finalize(p, y, X):
+        return penalized_finalize(
+            config, p, X, y, var_cutoff=var_cutoff,
+            importance_type=importance_type,
+            compute_importances=compute_importances,
+        )
+
+    fin_fn = jax.jit(jax.vmap(finalize, in_axes=(0, 0, None)))
+
+    FIN_CHUNK = 32
+    p_parts, cm_parts, fm_parts, imp_parts = [], [], [], []
+    for lo in range(0, B, FIN_CHUNK):
+        sl = slice(lo, min(lo + FIN_CHUNK, B))
+        p_i = jax.tree.map(lambda a: a[sl], res.params)
+        y_i = Ys_dev[sl]
+        p_i = q_fn(p_i, y_i, X_dev)
+        cm_i, fm_i, imp_i = fin_fn(p_i, y_i, X_dev)
+        p_parts.append(p_i)
+        cm_parts.append(cm_i)
+        fm_parts.append(fm_i)
+        imp_parts.append(imp_i)
+    params = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *p_parts)
+    cm = jnp.concatenate(cm_parts, axis=0)
+    fm = jnp.concatenate(fm_parts, axis=0)
+    imp = jnp.concatenate(imp_parts, axis=0)
+    return PenalizedFitResult(
+        params=params,
+        penalization_factor=factors,
+        component_mask=cm,
+        factor_mask=fm,
+        importances=imp,
+        loss=res.loss,
+        num_iters=res.num_iters,
+    )

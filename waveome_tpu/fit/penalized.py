@@ -98,6 +98,7 @@ def penalized_fit(
     key: Optional[jax.Array] = None,
     compute_importances: bool = True,
     use_collapsed: bool = True,
+    stage: str = "all",
 ) -> PenalizedFitResult:
     """Full per-outcome penalized pipeline (jit/vmap-safe)."""
     mask = svgp.train_mask(config, params0)
@@ -226,6 +227,19 @@ def penalized_fit(
     else:
         factor = factor0
 
+    if stage == "fit":
+        C = config.num_components
+        Fm = config.spec.padded().max_factors
+        return PenalizedFitResult(
+            params=params,
+            penalization_factor=factor,
+            component_mask=jnp.ones((C,), dtype=dtype),
+            factor_mask=jnp.ones((C, Fm), dtype=dtype),
+            importances=jnp.zeros((C + 1,), dtype=dtype),
+            loss=loss,
+            num_iters=iters,
+        )
+
     component_mask, factor_mask = prune_masks(config, params, X, var_cutoff)
 
     if compute_importances:
@@ -246,3 +260,28 @@ def penalized_fit(
         loss=loss,
         num_iters=iters,
     )
+
+
+def penalized_finalize(
+    config,
+    params,
+    X,
+    Y,
+    var_cutoff: float = 0.1,
+    importance_type: str = "log_bf",
+    compute_importances: bool = True,
+):
+    """Pruning + importances for already-fitted params (the second stage
+    of the staged batch driver; same semantics as the tail of
+    ``penalized_fit``)."""
+    dtype = params["kernel_raw"].dtype
+    component_mask, factor_mask = prune_masks(config, params, X, var_cutoff)
+    if compute_importances:
+        importances = feature_importance(
+            config, params, X, Y, component_mask=component_mask,
+            factor_mask=factor_mask, return_value=importance_type,
+        )
+    else:
+        C = config.num_components
+        importances = jnp.zeros((C + 1,), dtype=dtype)
+    return component_mask, factor_mask, importances

@@ -36,6 +36,15 @@ class LBFGSResult(NamedTuple):
     converged: jnp.ndarray
 
 
+class LBFGSCarry(NamedTuple):
+    """Resumable optimizer state for segmented execution: run the loop in
+    bounded-duration segments (remote-TPU transports can kill long single
+    executions), carrying (x, optax state) across jit calls."""
+
+    x: jnp.ndarray
+    state: tuple
+
+
 def lbfgs_fit(
     loss_fn: Callable,
     params0,
@@ -44,12 +53,19 @@ def lbfgs_fit(
     tol: float = 1e-8,
     history: int = 10,
     max_linesearch_steps: int = 20,
+    carry: Optional[LBFGSCarry] = None,
+    return_carry: bool = False,
 ) -> LBFGSResult:
     """Minimize ``loss_fn(params)`` over the pytree ``params0``.
 
     ``mask``: boolean pytree (same structure) — False entries are frozen.
     Returns the optimized pytree, final loss, iterations and a convergence
     flag. Jit/vmap-safe.
+
+    Segmented execution: pass ``carry`` from a previous call and a larger
+    ``max_iter`` (the bound is the cumulative iteration count tracked in
+    the optax state, so it may be a traced value); with
+    ``return_carry=True`` the result tuple is ``(LBFGSResult, LBFGSCarry)``.
     """
     flat0, unravel = ravel_pytree(params0)
     if mask is None:
@@ -97,8 +113,11 @@ def lbfgs_fit(
             (it < max_iter) & (err >= tol) & jnp.isfinite(value)
         )
 
-    state0 = opt.init(flat0)
-    x_fin, state_fin = jax.lax.while_loop(cond, step, (flat0, state0))
+    if carry is None:
+        x_init, state0 = flat0, opt.init(flat0)
+    else:
+        x_init, state0 = carry.x, carry.state
+    x_fin, state_fin = jax.lax.while_loop(cond, step, (x_init, state0))
     final_loss = f(x_fin)
     it = optax.tree_utils.tree_get(state_fin, "count")
     grad = optax.tree_utils.tree_get(state_fin, "grad")
@@ -108,4 +127,7 @@ def lbfgs_fit(
     bad = ~jnp.isfinite(final_loss)
     x_out = jnp.where(bad, flat0, jnp.where(mask_flat, x_fin, flat0))
     loss_out = jnp.where(bad, f(flat0), final_loss)
-    return LBFGSResult(unravel(x_out), loss_out, it, converged & ~bad)
+    result = LBFGSResult(unravel(x_out), loss_out, it, converged & ~bad)
+    if return_carry:
+        return result, LBFGSCarry(x=x_fin, state=state_fin)
+    return result
