@@ -73,3 +73,31 @@ def variance_contributions(spec, raw, lik_name: str = "gaussian",
     elif residuals is not None:
         out.append(float(np.std(np.asarray(residuals)) ** 2))
     return out
+
+
+def variance_contributions_diag(spec, raw, X, lik_name: str = "gaussian",
+                                lik_variance: float = None,
+                                residuals=None):
+    """Diagonal-based variance attribution (utilities.py:488-514): mean of
+    each additive component's K_diag over the training inputs, plus the
+    likelihood-variance share last."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import default_float
+    from .kernels.gram import gram_diag
+
+    X = jnp.asarray(X, dtype=default_float())
+    out = []
+    C = spec.padded().num_components
+    for c in range(C):
+        mask = np.zeros(C)
+        mask[c] = 1.0
+        kd = gram_diag(spec, raw, X, component_mask=jnp.asarray(
+            mask, dtype=X.dtype))
+        out.append(float(jnp.mean(kd)))
+    if lik_name == "gaussian" and lik_variance is not None:
+        out.append(round(float(lik_variance), 3))
+    elif residuals is not None:
+        out.append(float(np.std(np.asarray(residuals)) ** 2))
+    return out
