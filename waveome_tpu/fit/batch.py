@@ -263,13 +263,13 @@ def _segmented_gaussian_fit(
         return loss
 
     def first_seg(y, factor, bound, data):
-        X, p0, mask = data
-        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask,
+        X, p0 = data
+        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
                          max_iter=bound, tol=tol, return_carry=True)
 
     def next_seg(carry, y, factor, bound, data):
-        X, p0, mask = data
-        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask,
+        X, p0 = data
+        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
                          max_iter=bound, tol=tol, carry=carry,
                          return_carry=True)
 
@@ -279,8 +279,7 @@ def _segmented_gaussian_fit(
 
     X_dev = jnp.asarray(X_np, dtype=dtype)
     p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np)
-    mask_dev = jax.tree.map(jnp.asarray, mask_np)
-    data = (X_dev, p0_dev, mask_dev)
+    data = (X_dev, p0_dev)  # mask_np stays a static numpy closure
     Ys_dev = jnp.asarray(Ys_np.T[:, :, None], dtype=dtype)
     factors = jnp.asarray(factors_np, dtype=dtype)
 

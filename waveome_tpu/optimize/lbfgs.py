@@ -67,11 +67,38 @@ def lbfgs_fit(
     the optax state, so it may be a traced value); with
     ``return_carry=True`` the result tuple is ``(LBFGSResult, LBFGSCarry)``.
     """
+    import numpy as _np
+
     flat0, unravel = ravel_pytree(params0)
+
+    # Static (numpy) masks enable SUBSET optimization: the optimization
+    # vector contains only the free entries, so the L-BFGS history costs
+    # O(memory × n_free) instead of O(memory × n_total). With frozen
+    # variational parameters (the collapsed Gaussian path) that is ~10
+    # floats instead of ~250k — the difference between fitting thousands
+    # of outcomes per chip and OOMing HBM.
+    static_subset = mask is not None and all(
+        isinstance(leaf, _np.ndarray)
+        for leaf in jax.tree.leaves(mask)
+    )
+
     if mask is None:
         mask_flat = jnp.ones_like(flat0, dtype=bool)
+        free_idx = None
+    elif static_subset:
+        mask_np = _np.concatenate([
+            _np.asarray(leaf).reshape(-1)
+            for leaf in jax.tree.leaves(mask)
+        ])
+        # verify alignment with ravel_pytree ordering
+        assert mask_np.shape[0] == flat0.shape[0], (
+            "static mask/params size mismatch"
+        )
+        free_idx = jnp.asarray(_np.nonzero(mask_np)[0])
+        mask_flat = None
     else:
         mask_flat, _ = ravel_pytree(mask)
+        free_idx = None
 
     # Non-finite trial values (e.g. a full −∇ first step blowing up the
     # Cholesky) are mapped to a huge finite penalty so the zoom line search
@@ -80,10 +107,16 @@ def lbfgs_fit(
     # (model_classes.py:323-341).
     big = jnp.asarray(1e15, dtype=flat0.dtype)
 
-    def f(x):
-        merged = jnp.where(mask_flat, x, flat0)
-        v = loss_fn(unravel(merged))
-        return jnp.where(jnp.isfinite(v), v, big)
+    if free_idx is not None:
+        def f(x):
+            merged = flat0.at[free_idx].set(x)
+            v = loss_fn(unravel(merged))
+            return jnp.where(jnp.isfinite(v), v, big)
+    else:
+        def f(x):
+            merged = jnp.where(mask_flat, x, flat0)
+            v = loss_fn(unravel(merged))
+            return jnp.where(jnp.isfinite(v), v, big)
 
     opt = optax.lbfgs(
         memory_size=history,
@@ -113,8 +146,9 @@ def lbfgs_fit(
             (it < max_iter) & (err >= tol) & jnp.isfinite(value)
         )
 
+    x0 = flat0[free_idx] if free_idx is not None else flat0
     if carry is None:
-        x_init, state0 = flat0, opt.init(flat0)
+        x_init, state0 = x0, opt.init(x0)
     else:
         x_init, state0 = carry.x, carry.state
     x_fin, state_fin = jax.lax.while_loop(cond, step, (x_init, state0))
@@ -125,8 +159,12 @@ def lbfgs_fit(
 
     # NaN rollback (model_classes.py:323-341 retry semantics)
     bad = ~jnp.isfinite(final_loss)
-    x_out = jnp.where(bad, flat0, jnp.where(mask_flat, x_fin, flat0))
-    loss_out = jnp.where(bad, f(flat0), final_loss)
+    if free_idx is not None:
+        x_merged = flat0.at[free_idx].set(x_fin)
+        x_out = jnp.where(bad, flat0, x_merged)
+    else:
+        x_out = jnp.where(bad, flat0, jnp.where(mask_flat, x_fin, flat0))
+    loss_out = jnp.where(bad, f(x0), final_loss)
     result = LBFGSResult(unravel(x_out), loss_out, it, converged & ~bad)
     if return_carry:
         return result, LBFGSCarry(x=x_fin, state=state_fin)
