@@ -28,22 +28,22 @@ from ..models import svgp
 def component_posterior_marginal(
     config, params, Xnew, kernel_idx: int, component_mask=None,
     factor_mask=None, num_samples: int = 100,
-    key: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None, coded=None,
 ):
     """(mean, var, samples, cov) for one component, marginal mode."""
     C = config.num_components
     one_hot = jnp.zeros((C,), dtype=Xnew.dtype).at[kernel_idx].set(1.0)
     if component_mask is not None:
         one_hot = one_hot * component_mask
-    mu, var = svgp.predict_f(config, params, Xnew, component_mask=one_hot,
-                             factor_mask=factor_mask)
-    _, cov = svgp.predict_f(config, params, Xnew, full_cov=True,
-                            component_mask=one_hot, factor_mask=factor_mask)
+    kw = dict(component_mask=one_hot, coded=coded)
+    if coded is None:
+        kw["factor_mask"] = factor_mask
+    mu, var = svgp.predict_f(config, params, Xnew, **kw)
+    _, cov = svgp.predict_f(config, params, Xnew, full_cov=True, **kw)
     if key is None:
         key = jax.random.PRNGKey(0)
-    samples = svgp.predict_f_samples(config, params, Xnew, num_samples, key,
-                                     component_mask=one_hot,
-                                     factor_mask=factor_mask)
+    samples = svgp.predict_f_samples(config, params, Xnew, num_samples,
+                                     key, **kw)
     return mu, var, samples, cov
 
 

@@ -54,6 +54,8 @@ def _component_prediction(model, comp_pos, x_new):
     kw = {}
     if model.coded is None:
         kw["factor_mask"] = jnp.asarray(model.factor_mask)
+    else:
+        kw["coded"] = model.coded
     mu, var, samples, _ = component_posterior_marginal(
         model.config, model.params, jnp.asarray(x_new), idx,
         component_mask=mask, num_samples=30, **kw,
