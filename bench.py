@@ -63,7 +63,7 @@ def main():
     waveome_tpu.set_precision("float32")
 
     n_outcomes = int(os.environ.get("BENCH_OUTCOMES", "256"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "300"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "200"))
     X, Ys = simulate(n_outcomes=n_outcomes)
 
     spec, _ = full_kernel_build(

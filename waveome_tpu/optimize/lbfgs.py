@@ -55,6 +55,7 @@ def lbfgs_fit(
     max_linesearch_steps: int = 20,
     carry: Optional[LBFGSCarry] = None,
     return_carry: bool = False,
+    linesearch: str = "zoom",
 ) -> LBFGSResult:
     """Minimize ``loss_fn(params)`` over the pytree ``params0``.
 
@@ -118,13 +119,19 @@ def lbfgs_fit(
             v = loss_fn(unravel(merged))
             return jnp.where(jnp.isfinite(v), v, big)
 
-    opt = optax.lbfgs(
-        memory_size=history,
-        linesearch=optax.scale_by_zoom_linesearch(
+    if linesearch == "backtracking":
+        # value-only Armijo backtracking: ~1 gradient + k value evals per
+        # iteration vs zoom's value+grad per trial — much cheaper when the
+        # strong-Wolfe curvature condition is hard to satisfy (f32)
+        ls = optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_linesearch_steps, store_grad=True,
+        )
+    else:
+        ls = optax.scale_by_zoom_linesearch(
             max_linesearch_steps=max_linesearch_steps,
             initial_guess_strategy="one",
-        ),
-    )
+        )
+    opt = optax.lbfgs(memory_size=history, linesearch=ls)
     value_and_grad = optax.value_and_grad_from_state(f)
 
     def step(carry):
@@ -157,8 +164,9 @@ def lbfgs_fit(
     grad = optax.tree_utils.tree_get(state_fin, "grad")
     converged = optax.tree_utils.tree_norm(grad) < tol
 
-    # NaN rollback (model_classes.py:323-341 retry semantics)
-    bad = ~jnp.isfinite(final_loss)
+    # NaN rollback (model_classes.py:323-341 retry semantics); a final
+    # value at the big-guard plateau counts as failed too
+    bad = ~jnp.isfinite(final_loss) | (final_loss >= big)
     if free_idx is not None:
         x_merged = flat0.at[free_idx].set(x_fin)
         x_out = jnp.where(bad, flat0, x_merged)
