@@ -29,7 +29,7 @@ from .batch import fit_outcomes_penalized
 
 def run_penalized_sweep(
     X,
-    Ys: Dict[str, np.ndarray] or "np.ndarray",
+    Ys,
     spec,
     out_names: Optional[Sequence[str]] = None,
     checkpoint_dir: Optional[str] = None,
