@@ -19,6 +19,7 @@ import numpy as np
 from ..kernels.spec import KernelSpec
 from ..models import svgp
 from ..optimize.lbfgs import LBFGSCarry, lbfgs_fit
+from ..optimize.plbfgs import plbfgs_fit
 from ..parallel import mesh as meshlib
 from .penalized import (
     PenalizedFitResult,
@@ -188,10 +189,12 @@ def fit_outcomes_penalized(
 
 def device_chunk_iters(device_chunk, max_iter: int, batch: int = 1) -> int:
     """Segment length heuristic: keep each device call's duration bounded
-    regardless of batch width (remote transports kill long executions)."""
+    regardless of batch width (remote transports kill long executions).
+    The parallel-linesearch optimizer has constant per-iteration depth, so
+    segments can be longer than with a sequential linesearch."""
     if device_chunk is None:
         return max_iter
-    return max(10, min(100, max_iter, 2048 // max(batch, 1)))
+    return max(10, min(100, max_iter, 8192 // max(batch, 1)))
 
 
 def _segmented_gaussian_fit(
@@ -262,22 +265,21 @@ def _segmented_gaussian_fit(
 
         return loss
 
-    # f32: 8 zoom steps reach the same masks/losses as 20 at ~40% of the
-    # per-iteration cost (the strong-Wolfe check rarely succeeds earlier
-    # in f32 anyway)
-    mls = 8 if f32_mode else 20
-
+    # Parallel-linesearch L-BFGS: the trial grid evaluates in ONE batched
+    # call, so the per-iteration sequential depth is constant — under vmap
+    # a sequential linesearch costs every member the slowest member's
+    # trial count (optimize/plbfgs.py). Same losses/masks as the zoom
+    # variant on this objective.
     def first_seg(y, factor, bound, data):
         X, p0 = data
-        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
-                         max_iter=bound, tol=tol, return_carry=True,
-                         max_linesearch_steps=mls)
+        return plbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
+                          max_iter=bound, tol=tol, return_carry=True)
 
     def next_seg(carry, y, factor, bound, data):
         X, p0 = data
-        return lbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
-                         max_iter=bound, tol=tol, carry=carry,
-                         return_carry=True, max_linesearch_steps=mls)
+        return plbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
+                          max_iter=bound, tol=tol, carry=carry,
+                          return_carry=True)
 
     first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))
     next_fn = jax.jit(jax.vmap(next_seg, in_axes=(0, 0, 0, None, None)))
