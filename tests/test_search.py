@@ -153,3 +153,35 @@ def test_full_search_recovers_random_intercept():
         max_depth=2, num_restart=1, max_iter=150, random_seed=0,
     )
     assert "categorical[0]" in res["best_model_name"]
+
+
+def test_multi_outcome_lockstep_matches_single():
+    """Lockstep search over 3 outcomes recovers the same best models as
+    per-outcome searches."""
+    from waveome_tpu.search.greedy import multi_outcome_kernel_search
+
+    rng = np.random.default_rng(9)
+    n_units, n_per = 8, 6
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    n = X.shape[0]
+    effects = 2.0 * rng.normal(size=n_units)
+    Ys = np.column_stack([
+        np.sin(1.8 * t) + 0.15 * rng.normal(size=n),
+        effects[ids.astype(int)] + 0.2 * rng.normal(size=n),
+    ])
+    multi = multi_outcome_kernel_search(
+        X, Ys, kern_list=["squared_exponential"], cat_vars=[0],
+        out_names=["sin", "intercepts"], max_depth=2, num_restart=1,
+        max_iter=150, random_seed=0,
+    )
+    assert "squared_exponential[1]" in multi["sin"]["best_model_name"]
+    assert "categorical[0]" in multi["intercepts"]["best_model_name"]
+    for o in ["sin", "intercepts"]:
+        single = full_kernel_search(
+            X, Ys[:, [0 if o == "sin" else 1]],
+            kern_list=["squared_exponential"], cat_vars=[0], max_depth=2,
+            num_restart=1, max_iter=150, random_seed=0,
+        )
+        assert single["best_model_name"] == multi[o]["best_model_name"]

@@ -355,7 +355,7 @@ class GPSearch:
         verbose: bool = False,
         **_compat,
     ) -> None:
-        from .search.greedy import full_kernel_search
+        from .search.greedy import multi_outcome_kernel_search
 
         self.model_selection_type = "search"
         self.run_parameters["run_search"] = {
@@ -365,22 +365,25 @@ class GPSearch:
         start = time.time()
         n_out = len(self.out_names)
         print(f"Searching over {n_out} outcomes...")
-        X = self.X.to_numpy()
-        for feat in self.out_names:
-            res = full_kernel_search(
-                X=X,
-                Y=self.Y[feat].to_numpy()[:, None],
-                kern_list=list(kernels),
-                cat_vars=self.cat_idx,
-                max_depth=max_depth,
-                early_stopping=early_stopping,
-                prune=prune,
-                keep_all=keep_all,
-                metric_diff=metric_diff,
-                lik=self.likelihood,
-                random_seed=random_seed,
-                verbose=verbose,
-            )
+        # lockstep search: every outcome's candidate batch at each depth
+        # fits in one program (replaces per-outcome Ray workers,
+        # model_search.py:1149-1222)
+        results = multi_outcome_kernel_search(
+            X=self.X.to_numpy(),
+            Ys=self.Y.to_numpy(),
+            kern_list=list(kernels),
+            cat_vars=self.cat_idx,
+            out_names=self.out_names,
+            max_depth=max_depth,
+            early_stopping=early_stopping,
+            prune=prune,
+            keep_all=keep_all,
+            metric_diff=metric_diff,
+            lik=self.likelihood,
+            random_seed=random_seed,
+            verbose=verbose,
+        )
+        for feat, res in results.items():
             self.models[feat] = res["best_model"]
             self.search_info[feat] = res
         elapsed = np.round((time.time() - start) / 60, 1)

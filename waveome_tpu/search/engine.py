@@ -62,17 +62,28 @@ def fit_candidates(
     Y_holdout=None,
     split: bool = False,
     pad_shape=None,
+    y_cols: Optional[Sequence[int]] = None,
 ) -> CandidateFit:
     """Fit every candidate spec; return per-candidate best-restart results.
 
     Scoring (kernel_test, model_search.py:2299-2321): BIC = 2k − 2·loglik
     rounded to 2 decimals, or negative holdout log-density when ``split``.
+
+    Multi-outcome lockstep mode: pass ``Y`` of shape (N, B) plus
+    ``y_cols[i]`` = the outcome column candidate i belongs to — candidates
+    from EVERY outcome's search fit in one batched program.
     """
     dtype = default_float()
     # host copies; device arrays must be jit ARGUMENTS, not closure
     # captures (remote-TPU lowering reads back every captured device array)
     X_np = np.asarray(X, dtype=np.float64)
     Y_np = np.asarray(Y, dtype=np.float64)
+    if Y_np.ndim == 1:
+        Y_np = Y_np[:, None]
+    multi = y_cols is not None
+    if not multi:
+        y_cols = [0] * len(specs)
+    y_cols_arr = jnp.asarray(np.asarray(y_cols, dtype=np.int32))
     N = X_np.shape[0]
     n_cand = len(specs)
 
@@ -112,9 +123,15 @@ def fit_candidates(
     if split:
         Xh_np = np.asarray(X_holdout, dtype=np.float64)
         Yh_np = np.asarray(Y_holdout, dtype=np.float64)
+        if Yh_np.ndim == 1:
+            Yh_np = Yh_np[:, None]
 
-    def one_fit(coded_i, raw_i, kmask_i, key, randomize, data):
-        X, Y, tmpl, Xh, Yh = data
+    def one_fit(coded_i, raw_i, kmask_i, key, randomize, data, y_col):
+        X, Ymat, tmpl, Xh, Yhmat = data
+        Y = jax.lax.dynamic_slice_in_dim(
+            Ymat, y_col, 1, axis=1
+        )
+        Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
         mask = {
             "kernel_raw": kmask_i > 0,
             "mean_c": jnp.ones((1,), dtype=bool),
@@ -151,13 +168,13 @@ def fit_candidates(
             hold = jnp.zeros((), dtype=dtype)
         return res.params, loglik, hold
 
-    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data):
+    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col):
         if n_fits == 1:
             return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
-                           randomize=False, data=data)
+                           randomize=False, data=data, y_col=y_col)
         params, logliks, holds = jax.vmap(
             lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True,
-                              data=data)
+                              data=data, y_col=y_col)
         )(keys_i)
         # best restart by max loglik (random_restart_optimize,
         # model_classes.py:511-522), NaN-safe
@@ -170,7 +187,7 @@ def fit_candidates(
         )
 
     fit_all = jax.jit(jax.vmap(per_candidate,
-                               in_axes=(0, 0, 0, 0, None)))
+                               in_axes=(0, 0, 0, 0, None, 0)))
     data = (
         jnp.asarray(X_np, dtype=dtype),
         jnp.asarray(Y_np, dtype=dtype),
@@ -180,7 +197,8 @@ def fit_candidates(
         jnp.asarray(Yh_np, dtype=dtype) if split else jnp.zeros(
             (1, 1), dtype=dtype),
     )
-    params, logliks, holds = fit_all(coded, raw0, kmask, keys, data)
+    params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
+                                     y_cols_arr)
 
     logliks = np.asarray(logliks)
     holds = np.asarray(holds)

@@ -472,3 +472,195 @@ def split_kernel_search(
         X_holdout=X[hold], Y_holdout=Y[hold], split=True,
         random_seed=random_seed, **kwargs,
     )
+
+
+def multi_outcome_kernel_search(
+    X,
+    Ys,
+    kern_list: Sequence[str],
+    cat_vars: Sequence[int] = (),
+    out_names: Optional[Sequence[str]] = None,
+    max_depth: int = 5,
+    keep_all: bool = False,
+    metric_diff: float = 6.0,
+    early_stopping: bool = True,
+    prune: bool = True,
+    num_restart: int = 5,
+    lik: str = "gaussian",
+    verbose: bool = False,
+    random_seed: Optional[int] = None,
+    max_iter: int = 200,
+    num_inducing_points: int = 500,
+) -> Dict[str, Dict]:
+    """Lockstep greedy search over MANY outcomes.
+
+    The reference parallelises `full_kernel_search` per outcome with one
+    Ray worker each (model_search.py:1149-1222). Here every outcome's
+    search advances depth-by-depth together, and ALL candidates generated
+    at a depth — across outcomes — fit as one batched coded-structure
+    program (engine.fit_candidates with per-candidate outcome columns).
+    Semantics per outcome are identical to ``full_kernel_search``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Ys = np.asarray(Ys, dtype=np.float64)
+    if Ys.ndim == 1:
+        Ys = Ys[:, None]
+    B = Ys.shape[1]
+    if out_names is None:
+        out_names = [f"y{i}" for i in range(B)]
+
+    fit_kwargs = dict(
+        likelihood=lik, num_restart=num_restart, random_seed=random_seed,
+        max_iter=max_iter, num_inducing_points=num_inducing_points,
+    )
+
+    states = {
+        o: {"search_dict": {}, "edges": [], "active": True}
+        for o in out_names
+    }
+    col = {o: i for i, o in enumerate(out_names)}
+
+    def fit_and_store(cands, depth):
+        """cands: list of (outcome, name, spec, parent)."""
+        if not cands:
+            return
+        specs = [c[2] for c in cands]
+        y_cols = [col[c[0]] for c in cands]
+        fits, config = fit_candidates(specs, X, Ys, y_cols=y_cols,
+                                      **fit_kwargs)
+        for i, (o, name, spec, parent) in enumerate(cands):
+            states[o]["search_dict"][name] = {
+                "spec": spec,
+                "config": config,
+                "params": {k: np.asarray(v[i])
+                           for k, v in fits.params.items()},
+                "bic": fits.bic[i],
+                "loglik": float(fits.loglik[i]),
+                "depth": depth,
+                "parent": parent,
+                "try_next": True,
+            }
+
+    def collect_prune(o, depth):
+        sd = states[o]["search_dict"]
+        entries = [(v["bic"], k) for k, v in sd.items()
+                   if v["depth"] == depth]
+        if not entries:
+            return []
+        best_bic, best_name = min(entries)
+        cands = _prune_candidates(best_name, sd[best_name]["spec"],
+                                  list(sd.keys()))
+        return [(o, name, spec, best_name, best_bic)
+                for name, spec in cands]
+
+    for d in range(1, max_depth + 1):
+        if verbose:
+            print(f"[lockstep] depth {d}")
+        all_cands = []
+        for o in out_names:
+            st = states[o]
+            if not st["active"]:
+                continue
+            sd = st["search_dict"]
+            if d == 1:
+                for name, spec in generate_candidates(
+                    X.shape[1], kern_list, cat_vars, depth=1,
+                ):
+                    all_cands.append((o, name, spec, "None"))
+            else:
+                prev = list(sd.keys())
+                mine: List[str] = []
+                for name in list(sd.keys()):
+                    info = sd[name]
+                    if (info["depth"] != d - 1 or not info["try_next"]
+                            or name == "constant"):
+                        continue
+                    for op in ("sum",
+                               "split_product"
+                               if len(info["spec"].components) > 1
+                               else "product"):
+                        for cname, cspec in generate_candidates(
+                            X.shape[1], kern_list, cat_vars, depth=d,
+                            base=info["spec"], base_name=name,
+                            operation=op, prev_models=prev + mine,
+                        ):
+                            mine.append(cname)
+                            all_cands.append((o, cname, cspec, name))
+                            st["edges"].append((name, cname))
+        if not all_cands:
+            break
+        fit_and_store(all_cands, d)
+
+        # per-outcome bookkeeping + prune-candidate collection
+        prune_cands = []
+        for o in out_names:
+            st = states[o]
+            if not st["active"]:
+                continue
+            sd = st["search_dict"]
+            entries = [(v["bic"], k) for k, v in sd.items()
+                       if v["depth"] == d]
+            if not entries:
+                st["active"] = False
+                continue
+            best_name = min(entries)[1]
+            stop = False
+            if best_name == "constant":
+                stop = True
+            elif early_stopping and d > 1 and not check_if_better_metric(
+                sd, d
+            ):
+                stop = True
+            if d == max_depth:
+                stop = True
+            if not keep_all:
+                keep_top_k(sd, d, metric_diff)
+            if prune:
+                prune_cands.extend(collect_prune(o, d))
+            if stop:
+                st["active"] = False
+
+        if prune and prune_cands:
+            specs = [c[2] for c in prune_cands]
+            y_cols = [col[c[0]] for c in prune_cands]
+            fits, config = fit_candidates(specs, X, Ys, y_cols=y_cols,
+                                          **fit_kwargs)
+            for i, (o, name, spec, parent, best_bic) in enumerate(
+                prune_cands
+            ):
+                if fits.bic[i] < best_bic:
+                    states[o]["search_dict"][name] = {
+                        "spec": spec,
+                        "config": config,
+                        "params": {k: np.asarray(v[i])
+                                   for k, v in fits.params.items()},
+                        "bic": fits.bic[i],
+                        "loglik": float(fits.loglik[i]),
+                        "depth": d,
+                        "parent": parent,
+                        "try_next": True,
+                    }
+
+        if not any(st["active"] for st in states.values()):
+            break
+
+    out: Dict[str, Dict] = {}
+    for o in out_names:
+        sd = states[o]["search_dict"]
+        if not sd:
+            out[o] = {"models": {}, "edges": [], "best_model": None,
+                      "best_model_name": None, "var_exp": []}
+            continue
+        best_name = min(
+            (v["bic"], v["depth"], k) for k, v in sd.items()
+        )[2]
+        entry = sd[best_name]
+        yb = Ys[:, [col[o]]]
+        out[o] = {
+            "models": {best_name: entry},
+            "edges": states[o]["edges"],
+            "best_model": _make_fitted(entry, best_name),
+            "best_model_name": best_name,
+            "var_exp": _best_model_rsquare(entry, X, yb),
+        }
+    return out
