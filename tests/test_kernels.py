@@ -260,3 +260,19 @@ def test_vmap_over_coded_structures():
             np.asarray(gram(s, s.init_raw_params(), X)),
             rtol=1e-8,
         )
+
+
+def test_from_name_rank_suffix():
+    """Rank-replicated names (regularization.py:65-70 style '_r' suffixes)
+    parse: suffix is display-only and is dropped."""
+    spec = from_name("categorical[0]_1+squared_exponential[2]_0*categorical[1]")
+    assert spec.num_components == 2
+    assert spec.components[0][0].op == "categorical"
+    assert spec.components[0][0].dim == 0
+    assert spec.components[1][0].op == "squared_exponential"
+    assert spec.components[1][0].dim == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        from_name("categorical[id]")  # display names aren't parseable

@@ -62,3 +62,60 @@ def test_lam_search_grid_and_early_stop():
     assert out["best_lambda"] in [0.0, 0.01, 5.0]
     assert "final_model" in out
     assert "component_mask" in out["final_model"]
+
+
+def test_multioutput_lam_search_vmapped_cells():
+    """The LMC λ×fold CV runs as one vmapped program (folds as weights)."""
+    from waveome_tpu.search.lam import multioutput_lam_search
+
+    rng = np.random.default_rng(3)
+    n_units, n_per = 8, 5
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    f = np.sin(1.2 * t)
+    Y = np.column_stack([
+        f + 0.2 * rng.normal(size=t.size),
+        -0.5 * f + 0.2 * rng.normal(size=t.size),
+    ])
+    out = multioutput_lam_search(
+        X, Y, cat_vars=[0], num_vars=[1], unit_idx=0,
+        var_names=["id", "t"], lam_list=[0.1, 10.0], k_fold=2,
+        num_opt_iter=60, random_seed=0, prune=False,
+    )
+    assert out["best_lambda"] in [0.1, 10.0]
+    lls = np.asarray(
+        [out["cv_log_lik"][k] for k in sorted(out["cv_log_lik"])]
+    )
+    assert lls.shape == (2, 2)
+    assert np.isfinite(lls).all()
+    assert out["final_model"].params["W"].shape[0] == 2
+
+
+def test_fit_lmc_cells_matches_single_fit():
+    """One vmapped cell with λ and full-data weights ≈ plain fit_lmc."""
+    import jax.numpy as jnp
+
+    from waveome_tpu.models import lmc
+
+    rng = np.random.default_rng(4)
+    t = np.linspace(-2, 2, 30)
+    X = t[:, None]
+    Y = np.column_stack([np.sin(t) + 0.1 * rng.normal(size=30)])
+    config, _ = lmc.make_lmc_config(
+        X, Y, likelihood="gaussian", num_vars=[0],
+        num_inducing_points=15, kernel_options={"ranks": 1},
+    )
+    p0 = lmc.init_lmc_params(config, X, seed=0)
+    params_single, loss_single, _ = lmc.fit_lmc(
+        config, p0, X, Y, num_opt_iter=50, penalization_factor=1.0,
+    )
+    params_cells, losses = lmc.fit_lmc_cells(
+        config, p0, X, Y, lams=np.array([1.0]),
+        weight_rows=np.ones((1, 30)), num_opt_iter=50,
+    )
+    assert np.allclose(float(losses[0]), loss_single, rtol=1e-4)
+    assert np.allclose(
+        np.asarray(params_cells["W"][0]), np.asarray(params_single["W"]),
+        atol=1e-5,
+    )

@@ -143,6 +143,18 @@ class FittedGP:
         return k
 
 
+def _warn_unknown_kwargs(method: str, compat: dict) -> None:
+    """Reference-API kwargs we accept but do not implement: warn instead of
+    silently changing behavior for users porting reference scripts."""
+    if compat:
+        warnings.warn(
+            f"GPSearch.{method} ignoring unsupported option(s): "
+            f"{sorted(compat)} (accepted for reference-API compatibility, "
+            "but they have no effect here)",
+            stacklevel=3,
+        )
+
+
 class GPSearch:
     """Automated GP analysis over many outcomes (model_search.py:47-195)."""
 
@@ -275,6 +287,7 @@ class GPSearch:
         ``penalization_factor=None`` triggers the auto factor + iterative
         re-estimation (model_search.py:273-299).
         """
+        _warn_unknown_kwargs("penalized_optimization", _compat)
         self.model_selection_type = "penalized"
         self.run_parameters["penalized_optimization"] = {
             "penalization_factor": penalization_factor,
@@ -357,6 +370,7 @@ class GPSearch:
     ) -> None:
         from .search.greedy import multi_outcome_kernel_search
 
+        _warn_unknown_kwargs("run_search", _compat)
         self.model_selection_type = "search"
         self.run_parameters["run_search"] = {
             "kernels": list(kernels), "max_depth": max_depth,
@@ -479,6 +493,29 @@ class GPSearch:
                 )
         return out
 
+    def _x_display_transform(self):
+        """(dim, values) -> values in original X units
+        (model_search.py:1677-1695)."""
+        def tf(dim, values):
+            name = self.feat_names[dim]
+            if hasattr(self, "X_stds") and name in self.X_stds.index:
+                return (np.asarray(values) * float(self.X_stds[name])
+                        + float(self.X_means[name]))
+            return values
+        return tf
+
+    def _y_display_transform(self, out_label):
+        """values -> values in original Y units
+        (model_search.py:1697-1715)."""
+        def tf(values):
+            out = np.asarray(values)
+            if self.Y_transform in ("standardize", "scale"):
+                out = out * float(self.Y_stds[out_label])
+            if self.Y_transform == "standardize":
+                out = out + float(self.Y_means[out_label])
+            return out
+        return tf
+
     def importance_frame(self) -> pd.DataFrame:
         """Outcomes × component-name importance table (heatmap input,
         model_search.py:1271-1443)."""
@@ -503,6 +540,9 @@ class GPSearch:
         model = self.models[out_label]
         if x_idx is None and x_axis_label is not None:
             x_idx = self.feat_names.index(x_axis_label)
+        kwargs.setdefault("categorical_dict", self.categorical_dict)
+        kwargs.setdefault("x_transform", self._x_display_transform())
+        kwargs.setdefault("y_transform", self._y_display_transform(out_label))
         return pred_kernel_parts(
             model,
             data=(self.X.to_numpy(), self.Y[out_label].to_numpy()[:, None]),
@@ -517,6 +557,8 @@ class GPSearch:
 
         model = self.models[out_label]
         x_idx = self.feat_names.index(x_axis_label)
+        kwargs.setdefault("x_transform", self._x_display_transform())
+        kwargs.setdefault("y_transform", self._y_display_transform(out_label))
         return gp_predict_fun(
             model,
             x_idx=x_idx,

@@ -38,14 +38,19 @@ class RegFitResult(NamedTuple):
     bic: jnp.ndarray
 
 
-def _lasso_priors(config, params, lam: float):
+def _lasso_priors(config, params, lam):
     """Laplace(0,1/λ) on trainable variances + Uniform(0,10) on other
-    kernel params (softened: the uniform acts as a log-barrier bound)."""
+    kernel params (softened: the uniform acts as a log-barrier bound).
+
+    ``lam`` may be a traced scalar (λ grids share one compiled program);
+    λ=0 contributes no Laplace prior."""
     dtype = params["kernel_raw"].dtype
     total = jnp.zeros((), dtype=dtype)
-    if lam > 0:
-        variances = component_variances(config.spec, params["kernel_raw"])
-        total = total + jnp.sum(laplace_log_prob(variances, 0.0, 1.0 / lam))
+    lam = jnp.asarray(lam, dtype=dtype)
+    variances = component_variances(config.spec, params["kernel_raw"])
+    safe_lam = jnp.maximum(lam, jnp.asarray(1e-30, dtype=dtype))
+    lap = jnp.sum(laplace_log_prob(variances, 0.0, 1.0 / safe_lam))
+    total = total + jnp.where(lam > 0, lap, 0.0)
     # Uniform(0,10) on non-variance kernel params (model_fitting.py:236-242)
     vals = constrain(params["kernel_raw"])
     nonvar_np = np.array(config.spec._param_exists_np())
@@ -57,15 +62,17 @@ def _lasso_priors(config, params, lam: float):
 
 
 def _explicit_penalty(config, params, X, lam, gam, base_variances):
-    """N·λ·(1/base_var^γ)·Σ variances (model_types_DEPR.py:49-62)."""
-    if lam <= 0:
-        return jnp.zeros((), dtype=params["kernel_raw"].dtype)
+    """N·λ·(1/base_var^γ)·Σ variances (model_types_DEPR.py:49-62).
+    ``lam``/``gam`` may be traced scalars; λ=0 contributes nothing."""
+    dtype = params["kernel_raw"].dtype
+    lam = jnp.asarray(lam, dtype=dtype)
     variances = component_variances(config.spec, params["kernel_raw"])
     if base_variances is None:
         w = jnp.ones_like(variances)
     else:
         w = 1.0 / (jnp.asarray(base_variances, dtype=variances.dtype) ** gam)
-    return X.shape[0] * lam * jnp.sum(w * variances)
+    pen = X.shape[0] * lam * jnp.sum(w * variances)
+    return jnp.where(lam > 0, pen, jnp.zeros((), dtype=dtype))
 
 
 def kernel_test_reg(

@@ -193,36 +193,36 @@ def penalized_fit(
         params = dict(params, q_mu=q_mu, q_sqrt_raw=q_sqrt)
 
     if auto_factor and num_factor_iter > 0:
-        # iterative re-estimation (model_search.py:332-375)
-        def body(carry):
-            params, factor, loss, it, done = carry
-            _, yvar = svgp.predict_y(config, params, X)
+        # iterative re-estimation (model_search.py:332-375). The stop
+        # decision is evaluated BEFORE each refit (a cheap predict_y), so a
+        # converged outcome never pays a discarded fit; final params match
+        # the reference's restore-on-larger/break-on-close semantics.
+        def next_factor_of(p, factor):
+            _, yvar = svgp.predict_y(config, p, X)
             new_sd = jnp.sqrt(jnp.mean(yvar))
-            new_factor = auto_penalization_factor(new_sd, N, num_var, dtype)
-            close = jnp.abs(new_factor - factor) <= 1e-3
-            larger = new_factor > factor
-            should_stop = close | larger
-            new_params, new_loss, _ = fit(params, new_factor)
+            nf = auto_penalization_factor(new_sd, N, num_var, dtype)
+            stop = (jnp.abs(nf - factor) <= 1e-3) | (nf > factor)
+            return nf, stop
+
+        nf0, stop0 = next_factor_of(params, factor0)
+
+        def body(carry):
+            params, factor, loss, nf, it, done = carry
+            new_params, new_loss, _ = fit(params, nf)
             if collapsed:
                 q_mu, q_sqrt = svgp.optimal_q(config, new_params, X, Y)
                 new_params = dict(new_params, q_mu=q_mu,
                                   q_sqrt_raw=q_sqrt)
-            # keep previous params when stopping (reference restores on
-            # larger factor; on 'close' it just breaks before refitting)
-            out_params = jax.tree.map(
-                lambda a, b: jnp.where(should_stop, a, b), params, new_params
-            )
-            out_factor = jnp.where(should_stop, factor, new_factor)
-            out_loss = jnp.where(should_stop, loss, new_loss)
-            return out_params, out_factor, out_loss, it + 1, should_stop
+            nf2, stop = next_factor_of(new_params, nf)
+            return new_params, nf, new_loss, nf2, it + 1, stop
 
         def cond(carry):
             *_, it, done = carry
             return (it < num_factor_iter) & ~done
 
-        params, factor, loss, _, _ = jax.lax.while_loop(
+        params, factor, loss, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (params, factor0, loss, jnp.asarray(0), jnp.asarray(False)),
+            (params, factor0, loss, nf0, jnp.asarray(0), stop0),
         )
     else:
         factor = factor0

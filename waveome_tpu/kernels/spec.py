@@ -261,13 +261,28 @@ def single(op: str, dim: int = 0, **kw) -> KernelSpec:
 def from_name(name: str) -> KernelSpec:
     """Parse a canonical kernel-name string back to a spec
     (inverse of ``KernelSpec.name`` — the reference parses these strings with
-    regexes in plotting, model_search.py:1303-1309)."""
+    regexes in plotting, model_search.py:1303-1309).
+
+    Accepts the rank-replication suffixes ``full_kernel_build(ranks=...)``
+    generates (e.g. ``"categorical[0]_1"`` — regularization.py:65-70); the
+    ``_r`` suffix is display-only and is dropped here.
+    """
+    import re
+
+    fac_re = re.compile(r"^(?P<op>\w+?)(?:\[(?P<dim>\d+)\])?(?:_\d+)?$")
     comps = []
     for comp_str in name.split("+"):
         facs = []
         for fac_str in comp_str.split("*"):
-            op, _, rest = fac_str.partition("[")
-            dim = int(rest.rstrip("]")) if rest else 0
-            facs.append(Primitive(op, dim))
+            m = fac_re.match(fac_str.strip())
+            if m is None:
+                raise ValueError(
+                    f"cannot parse kernel factor {fac_str!r} in {name!r}; "
+                    "expected 'op[dim]' with an integer dim "
+                    "(names generated with var_names= are display strings "
+                    "and are not round-trippable)"
+                )
+            dim = int(m.group("dim")) if m.group("dim") else 0
+            facs.append(Primitive(m.group("op"), dim))
         comps.append(tuple(facs))
     return KernelSpec(tuple(comps))

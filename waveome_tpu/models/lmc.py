@@ -253,11 +253,17 @@ def lmc_predict_y(config, params, Xnew, coded=None, latent_mask=None):
     return config.likelihood.predict_mean_and_var(lik_p, Fmu, Fvar)
 
 
-def lmc_elbo(config, params, X, Y, coded=None, latent_mask=None):
+def lmc_elbo(config, params, X, Y, coded=None, latent_mask=None,
+             weights=None):
+    """``weights``: optional (N,) 0/1 observation weights — CV folds share
+    one static shape (SURVEY.md §2.8 row 2: folds as another vmapped axis).
+    """
     coded = coded if coded is not None else lmc_coded(config)
     Fmu, Fvar = lmc_predict_f(config, params, X, coded, latent_mask)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     ve = config.likelihood.variational_expectations(lik_p, Fmu, Fvar, Y)
+    if weights is not None:
+        ve = ve * weights[:, None]
 
     # KL per latent (whitened)
     def kl_one(q_mu_q, q_sqrt_q):
@@ -276,48 +282,57 @@ def lmc_elbo(config, params, X, Y, coded=None, latent_mask=None):
     return jnp.sum(ve) - jnp.sum(kls)
 
 
-def lmc_log_posterior(config, params, X, Y, coded=None, latent_mask=None):
-    """ELBO + Horseshoe(1/(λ√Q)) prior on W (model_classes.py:1364-1378)."""
-    el = lmc_elbo(config, params, X, Y, coded, latent_mask)
+def lmc_log_posterior(config, params, X, Y, coded=None, latent_mask=None,
+                      weights=None, penalization_factor=None):
+    """ELBO + Horseshoe(1/(λ√Q)) prior on W (model_classes.py:1364-1378).
+
+    ``penalization_factor`` may be a traced scalar (λ grids share one
+    compiled program); defaults to the static config value.
+    """
+    el = lmc_elbo(config, params, X, Y, coded, latent_mask, weights)
     Q = config.num_latents
-    adj = config.penalization_factor * np.sqrt(Q)
-    scale = 1.0 / adj if adj > 0 else 1.0
+    if penalization_factor is None:
+        adj = config.penalization_factor * np.sqrt(Q)
+        scale = 1.0 / adj if adj > 0 else 1.0
+    else:
+        lam = jnp.asarray(penalization_factor, dtype=el.dtype)
+        adj = lam * np.sqrt(Q)
+        scale = jnp.where(adj > 0, 1.0 / jnp.maximum(adj, 1e-30), 1.0)
     prior = jnp.sum(horseshoe_log_prob(params["W"], scale))
     return el + prior
 
 
 def lmc_training_loss(config, params, X, Y, coded=None, latent_mask=None,
-                      constraint_weight: float = 1.0):
+                      constraint_weight: float = 1.0, weights=None,
+                      penalization_factor=None):
     """−log posterior + sign-identifiability penalty relu(−W[0,:])
     (model_classes.py:1536-1544)."""
-    loss = -lmc_log_posterior(config, params, X, Y, coded, latent_mask)
+    loss = -lmc_log_posterior(config, params, X, Y, coded, latent_mask,
+                              weights, penalization_factor)
     sign_penalty = jnp.sum(jax.nn.relu(-params["W"][0, :]))
     return loss + constraint_weight * sign_penalty, loss
 
 
-def fit_lmc(
+def _lmc_loop_runner(
     config: LMCConfig,
     params0: dict,
-    X,
-    Y,
-    num_opt_iter: int = 2000,
-    adam_learning_rate: float = 0.01,
-    nat_gradient_gamma: float = 0.1,
-    constraint_weight: float = 1.0,
-    patience: int = 500,
-    verbose: bool = False,
+    num_opt_iter: int,
+    adam_learning_rate: float,
+    nat_gradient_gamma: float,
+    constraint_weight: float,
+    patience: int,
 ):
-    """The LMC optimizer loop (model_classes.py:1502-1612) as one
-    lax.while_loop: Adam (grad-norm-clipped) on non-variational params +
-    NatGrad on each latent's (q_mu, q_sqrt); patience early stop; NaN
-    rollback to 100-iter checkpoints."""
+    """Build (init_carry, run_one) for the LMC optimizer loop
+    (model_classes.py:1502-1612) as one lax.while_loop: Adam
+    (grad-norm-clipped) on non-variational params + NatGrad on each
+    latent's (q_mu, q_sqrt); patience early stop; NaN rollback to 100-iter
+    checkpoints.
+
+    ``run_one(carry, data)`` with ``data = (X, Y, coded, lam, w)`` — λ and
+    the (N,) fold weights are traced, so λ grids and CV folds batch as
+    vmapped axes over one compiled program. Finished cells freeze their
+    state, so per-cell early stopping survives vmap."""
     dtype = params0["W"].dtype
-    # host copies — device arrays enter the jitted loop as ARGUMENTS (a
-    # closure-captured device array costs a tunnel readback per capture at
-    # lowering time on remote TPUs)
-    X_np = np.asarray(X, dtype=np.float64)
-    Y_np = np.asarray(Y, dtype=np.float64)
-    coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
     # frozen latent variances (model_classes.py:1380-1383): adam mask
     kmask = np.ones(params0["kernel_raw"].shape, dtype=bool)
@@ -340,14 +355,16 @@ def fit_lmc(
     opt = optax.adam(adam_learning_rate)
 
     def total_loss_fn(p, data):
-        X_, Y_, coded_ = data
+        X_, Y_, coded_, lam_, w_ = data
         return lmc_training_loss(config, p, X_, Y_, coded_,
-                                 constraint_weight=constraint_weight)[0]
+                                 constraint_weight=constraint_weight,
+                                 weights=w_, penalization_factor=lam_)[0]
 
     def data_loss_fn(p, data):
-        X_, Y_, coded_ = data
+        X_, Y_, coded_, lam_, w_ = data
         return lmc_training_loss(config, p, X_, Y_, coded_,
-                                 constraint_weight=constraint_weight)[1]
+                                 constraint_weight=constraint_weight,
+                                 weights=w_, penalization_factor=lam_)[1]
 
     def natgrad_apply(p, data):
         grads = jax.grad(total_loss_fn)(p, data)
@@ -364,7 +381,7 @@ def fit_lmc(
         p["q_sqrt_raw"] = new_sqrt
         return p
 
-    def body(carry, data):
+    def step(carry, data):
         p, opt_state, snapshot, best_loss, no_improve, it, done = carry
         # natgrad on variational params first (model_classes.py:1525-1527)
         p = natgrad_apply(p, data)
@@ -400,6 +417,15 @@ def fit_lmc(
         done = bad | (no_improve >= patience)
         return p, opt_state, snapshot, best_loss, no_improve, it + 1, done
 
+    def body(carry, data):
+        done_prev = carry[-1]
+        new = step(carry, data)
+        # freeze finished cells (vmapped while_loop keeps stepping until
+        # every cell's cond is false)
+        return jax.tree.map(
+            lambda old, nw: jnp.where(done_prev, old, nw), carry, new
+        )
+
     def cond(carry):
         *_, it, done = carry
         return (it < num_opt_iter) & ~done
@@ -412,17 +438,99 @@ def fit_lmc(
         np.asarray(False),
     )
 
-    @jax.jit
-    def run(c, data):
-        return jax.lax.while_loop(cond, lambda cc: body(cc, data), c)
+    def run_one(carry, data):
+        return jax.lax.while_loop(cond, lambda cc: body(cc, data), carry)
 
+    return init, run_one
+
+
+def fit_lmc(
+    config: LMCConfig,
+    params0: dict,
+    X,
+    Y,
+    num_opt_iter: int = 2000,
+    adam_learning_rate: float = 0.01,
+    nat_gradient_gamma: float = 0.1,
+    constraint_weight: float = 1.0,
+    patience: int = 500,
+    verbose: bool = False,
+    weights=None,
+    penalization_factor=None,
+):
+    """Single LMC fit. ``weights``/``penalization_factor`` optionally
+    override the full-data/static-λ defaults (both enter traced)."""
+    dtype = params0["W"].dtype
+    # host copies — device arrays enter the jitted loop as ARGUMENTS (a
+    # closure-captured device array costs a tunnel readback per capture at
+    # lowering time on remote TPUs)
+    X_np = np.asarray(X, dtype=np.float64)
+    Y_np = np.asarray(Y, dtype=np.float64)
+    coded_np = jax.tree.map(np.asarray, lmc_coded(config))
+
+    init, run_one = _lmc_loop_runner(
+        config, params0, num_opt_iter, adam_learning_rate,
+        nat_gradient_gamma, constraint_weight, patience,
+    )
+
+    lam = (config.penalization_factor if penalization_factor is None
+           else penalization_factor)
+    w = (np.ones(X_np.shape[0]) if weights is None else np.asarray(weights))
     data = (
         jnp.asarray(X_np, dtype=dtype),
         jnp.asarray(Y_np, dtype=dtype),
         jax.tree.map(jnp.asarray, coded_np),
+        jnp.asarray(lam, dtype=dtype),
+        jnp.asarray(w, dtype=dtype),
     )
+    run = jax.jit(run_one)
     p, _, _, best_loss, _, it, _ = run(init, data)
     return p, float(best_loss), int(it)
+
+
+def fit_lmc_cells(
+    config: LMCConfig,
+    params0: dict,
+    X,
+    Y,
+    lams,
+    weight_rows,
+    num_opt_iter: int = 2000,
+    adam_learning_rate: float = 0.01,
+    nat_gradient_gamma: float = 0.1,
+    constraint_weight: float = 1.0,
+    patience: int = 500,
+):
+    """Fit all (λ × fold) CV cells as ONE vmapped program.
+
+    ``lams``: (K,) penalization factors; ``weight_rows``: (K, N) 0/1 train
+    weights. Replaces the reference's Ray task per cell
+    (model_search.py:707-761). Returns (stacked params pytree with leading
+    K axis, (K,) best data losses)."""
+    dtype = params0["W"].dtype
+    X_np = np.asarray(X, dtype=np.float64)
+    Y_np = np.asarray(Y, dtype=np.float64)
+    coded_np = jax.tree.map(np.asarray, lmc_coded(config))
+
+    init, run_one = _lmc_loop_runner(
+        config, params0, num_opt_iter, adam_learning_rate,
+        nat_gradient_gamma, constraint_weight, patience,
+    )
+
+    def one(lam, w, carry, Xd, Yd, coded):
+        out = run_one(carry, (Xd, Yd, coded, lam, w))
+        return out[0], out[3]  # params, best data loss
+
+    run = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, None)))
+    params_k, losses_k = run(
+        jnp.asarray(np.asarray(lams), dtype=dtype),
+        jnp.asarray(np.asarray(weight_rows), dtype=dtype),
+        init,
+        jnp.asarray(X_np, dtype=dtype),
+        jnp.asarray(Y_np, dtype=dtype),
+        jax.tree.map(jnp.asarray, coded_np),
+    )
+    return params_k, losses_k
 
 
 def prune_latent_factors(config, params, threshold: float = 0.1,

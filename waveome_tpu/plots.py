@@ -64,6 +64,14 @@ def _component_prediction(model, comp_pos, x_new):
             np.asarray(samples))
 
 
+def _identity_x(dim, values):
+    return values
+
+
+def _identity_y(values):
+    return values
+
+
 def pred_kernel_parts(
     model,
     data,
@@ -76,9 +84,19 @@ def pred_kernel_parts(
     unit_idx: Optional[int] = None,
     resid_type: str = "pearson",
     cat_color_pal=None,
+    x_transform=None,
+    y_transform=None,
 ):
-    """Figure grid of additive component posteriors + residual panel."""
+    """Figure grid of additive component posteriors + residual panel.
+
+    ``x_transform(dim, values)`` / ``y_transform(values)`` undo the
+    standardization for display so axes read in original units (the
+    reference reverse-transforms inside GPSearch.plot_parts,
+    model_search.py:1445-1510).
+    """
     categorical_dict = categorical_dict or {}
+    x_transform = x_transform or _identity_x
+    y_transform = y_transform or _identity_y
     cat_color_pal = cat_color_pal or sns.color_palette("Set1")
     X, Y = np.asarray(data[0]), np.asarray(data[1])
 
@@ -115,9 +133,12 @@ def pred_kernel_parts(
             for lv in levels:
                 x_new[:, cat_dim] = lv
                 mu, var, _ = _component_prediction(model, pos, x_new)
-                mean_resp = _cond_mean(model, mu)
-                lo = _cond_mean(model, mu - conf_level_val * np.sqrt(var))
-                hi = _cond_mean(model, mu + conf_level_val * np.sqrt(var))
+                mean_resp = y_transform(_cond_mean(model, mu))
+                lo = y_transform(_cond_mean(
+                    model, mu - conf_level_val * np.sqrt(var)))
+                hi = y_transform(_cond_mean(
+                    model, mu + conf_level_val * np.sqrt(var)))
+                x_plot = x_transform(plot_dim, x_new[:, plot_dim])
                 label = None
                 if len(levels) <= 5:
                     cname = col_names[cat_dim]
@@ -125,9 +146,9 @@ def pred_kernel_parts(
                         label = str(categorical_dict[cname][1][int(lv)])
                     else:
                         label = str(lv)
-                    ax.fill_between(x_new[:, plot_dim], lo, hi,
+                    ax.fill_between(x_plot, lo, hi,
                                     color="lightgreen", alpha=0.5)
-                ax.plot(x_new[:, plot_dim], mean_resp, alpha=0.6,
+                ax.plot(x_plot, mean_resp, alpha=0.6,
                         label=label,
                         color=cat_color_pal[int(lv) % len(cat_color_pal)])
             if len(levels) <= 5:
@@ -142,8 +163,13 @@ def pred_kernel_parts(
             for q in qs:
                 x_new[:, d_slice] = q
                 mu, var, _ = _component_prediction(model, pos, x_new)
-                ax.plot(x_new[:, d_main], _cond_mean(model, mu),
-                        alpha=0.6, label=f"{col_names[d_slice]}={q:.2g}")
+                q_disp = float(np.asarray(
+                    x_transform(d_slice, np.array([q]))
+                )[0])
+                ax.plot(x_transform(d_main, x_new[:, d_main]),
+                        y_transform(_cond_mean(model, mu)),
+                        alpha=0.6,
+                        label=f"{col_names[d_slice]}={q_disp:.2g}")
             ax.legend(fontsize=5)
             xlabel = col_names[d_main]
         else:
@@ -152,14 +178,18 @@ def pred_kernel_parts(
             d_main = dims[0] if dims else x_idx
             x_new = _grid_X(X, d_main)
             mu, var, samples = _component_prediction(model, pos, x_new)
+            x_plot = x_transform(d_main, x_new[:, d_main])
             for s in range(min(samples.shape[1], 20)):
-                ax.plot(x_new[:, d_main], _cond_mean(model, samples[:, s]),
+                ax.plot(x_plot,
+                        y_transform(_cond_mean(model, samples[:, s])),
                         color="gray", alpha=0.15, linewidth=0.5)
-            ax.plot(x_new[:, d_main], _cond_mean(model, mu), color="C0")
+            ax.plot(x_plot, y_transform(_cond_mean(model, mu)), color="C0")
             ax.fill_between(
-                x_new[:, d_main],
-                _cond_mean(model, mu - conf_level_val * np.sqrt(var)),
-                _cond_mean(model, mu + conf_level_val * np.sqrt(var)),
+                x_plot,
+                y_transform(_cond_mean(
+                    model, mu - conf_level_val * np.sqrt(var))),
+                y_transform(_cond_mean(
+                    model, mu + conf_level_val * np.sqrt(var))),
                 color="lightgreen", alpha=0.5,
             )
             xlabel = col_names[d_main]
@@ -241,10 +271,16 @@ def gp_predict_fun(
     predict_type: str = "mean",
     conf_level_val: float = 1.96,
     figsize=(6, 4),
+    x_transform=None,
+    y_transform=None,
 ):
     """Marginal posterior along one axis at reference quantiles
     (predictions.py:519-729): other covariates pinned at their
-    ``ref_quantile``; optional unit-conditional curve."""
+    ``ref_quantile``; optional unit-conditional curve. ``x_transform``/
+    ``y_transform`` undo standardization for display
+    (model_search.py:1598-1675)."""
+    x_transform = x_transform or _identity_x
+    y_transform = y_transform or _identity_y
     X = np.asarray(X)
     Y = np.asarray(Y)
     x_new = np.zeros((300, X.shape[1]))
@@ -266,9 +302,12 @@ def gp_predict_fun(
         mean = _cond_mean(model, fmu)
         lo = _cond_mean(model, fmu - conf_level_val * np.sqrt(fvar))
         hi = _cond_mean(model, fmu + conf_level_val * np.sqrt(fvar))
-    ax.plot(x_new[:, x_idx], mean, color="C0")
-    ax.fill_between(x_new[:, x_idx], lo, hi, color="lightblue", alpha=0.5)
-    ax.scatter(X[:, x_idx], Y[:, 0], s=8, color="k", alpha=0.4)
+    x_plot = x_transform(x_idx, x_new[:, x_idx])
+    ax.plot(x_plot, y_transform(mean), color="C0")
+    ax.fill_between(x_plot, y_transform(lo), y_transform(hi),
+                    color="lightblue", alpha=0.5)
+    ax.scatter(x_transform(x_idx, X[:, x_idx]), y_transform(Y[:, 0]),
+               s=8, color="k", alpha=0.4)
     ax.set_xlabel(col_names[x_idx])
     return fig, ax
 

@@ -192,23 +192,28 @@ def lam_search(
     Xj = jnp.asarray(Xn, dtype=dtype)
     Yj = jnp.asarray(np.asarray(Y), dtype=dtype).reshape(-1, 1)
 
-    def fold_cells(lam, gam):
-        def one(w, data):
-            X_, Y_ = data
-            (res, config) = kernel_test_reg(
-                X_, Y_, spec, likelihood=likelihood, lasso=True, lam=lam,
-                gam=gam, base_variances=base_variances, num_restarts=1,
-                random_init=False, max_iter=max_iter,
-                num_inducing_points=num_inducing_points, weights=w,
-                random_seed=random_seed,
-            )
-            ld = svgp.predict_log_density(config, res.params, X_, Y_)
-            hm = 1.0 - w
-            return jnp.sum(ld * hm) / jnp.maximum(jnp.sum(hm), 1.0)
-
-        return np.asarray(
-            jax.jit(jax.vmap(one, in_axes=(0, None)))(Wtrain, (Xj, Yj))
+    # λ/γ enter TRACED so the whole grid reuses one compiled program
+    # (a closed-over Python float would recompile per grid point)
+    def one(lam, gam, w, data):
+        X_, Y_ = data
+        (res, config) = kernel_test_reg(
+            X_, Y_, spec, likelihood=likelihood, lasso=True, lam=lam,
+            gam=gam, base_variances=base_variances, num_restarts=1,
+            random_init=False, max_iter=max_iter,
+            num_inducing_points=num_inducing_points, weights=w,
+            random_seed=random_seed,
         )
+        ld = svgp.predict_log_density(config, res.params, X_, Y_)
+        hm = 1.0 - w
+        return jnp.sum(ld * hm) / jnp.maximum(jnp.sum(hm), 1.0)
+
+    cell_fn = jax.jit(jax.vmap(one, in_axes=(None, None, 0, None)))
+
+    def fold_cells(lam, gam):
+        return np.asarray(cell_fn(
+            jnp.asarray(lam, dtype=dtype), jnp.asarray(gam, dtype=dtype),
+            Wtrain, (Xj, Yj),
+        ))
 
     for l_val in lam_list:
         if stop_now:
@@ -278,9 +283,13 @@ def multioutput_lam_search(
     prune_threshold: float = 0.1,
     verbose: bool = False,
 ) -> Dict:
-    """CV of the LMC penalization factor (model_search.py:575-820):
-    folds as weights, λ loop with best-λ tracking, refit on full data and
-    optional latent pruning."""
+    """CV of the LMC penalization factor (model_search.py:575-820).
+
+    TPU-native: folds become 0/1 observation weights (static shapes) and
+    the whole (λ × fold) grid fits as ONE vmapped program
+    (``lmc.fit_lmc_cells``) — replacing the reference's Ray task per cell
+    (model_search.py:707-761)."""
+    from ..config import default_float
     from ..models import lmc
 
     Xn, Yn = np.asarray(X), np.asarray(Y)
@@ -289,6 +298,7 @@ def multioutput_lam_search(
         lam_list = auto_lambda_grid(Yn, num_lams)
 
     folds = make_folds(Xn, unit_idx, k_fold, random_seed)
+    Wtrain = _fold_weight_matrix(N, folds)
 
     config, latent_names = lmc.make_lmc_config(
         Xn, Yn, likelihood=likelihood, cat_vars=cat_vars,
@@ -299,33 +309,44 @@ def multioutput_lam_search(
         ),
         verbose=verbose,
     )
+    params0 = lmc.init_lmc_params(config, Xn, seed=random_seed or 0)
+
+    # (λ × fold) grid as one vmapped axis
+    cells = [(li, ki) for li in range(len(lam_list))
+             for ki in range(k_fold)]
+    lam_arr = np.asarray([lam_list[li] for li, _ in cells])
+    w_arr = Wtrain[np.asarray([ki for _, ki in cells])]
+
+    params_k, _ = lmc.fit_lmc_cells(
+        config, params0, Xn, Yn, lam_arr, w_arr,
+        num_opt_iter=num_opt_iter,
+    )
+
+    # holdout mean predict_log_density per cell (model_search.py:692-697)
+    dtype = default_float()
+    coded = lmc.lmc_coded(config)
+
+    def cell_score(p, w, Xd, Yd):
+        Fmu, Fvar = lmc.lmc_predict_f(config, p, Xd, coded=coded)
+        lik_p = config.likelihood.constrain(p["lik_raw"])
+        ld = config.likelihood.predict_log_density(lik_p, Fmu, Fvar, Yd)
+        hm = (1.0 - w)[:, None]
+        n_vals = jnp.maximum(jnp.sum(hm) * Yd.shape[1], 1.0)
+        return jnp.sum(ld * hm) / n_vals
+
+    scores = np.asarray(jax.jit(
+        jax.vmap(cell_score, in_axes=(0, 0, None, None))
+    )(
+        params_k, jnp.asarray(w_arr, dtype=dtype),
+        jnp.asarray(Xn, dtype=dtype), jnp.asarray(Yn, dtype=dtype),
+    )).reshape(len(lam_list), k_fold)
 
     cv_ll: Dict = {}
     best = {"lam": None, "ll": -np.inf}
-    for l_val in lam_list:
-        lls = []
-        for f in folds:
-            train = np.setdiff1d(np.arange(N), f)
-            cfg = lmc.LMCConfig(
-                latent_specs=config.latent_specs,
-                likelihood=config.likelihood,
-                num_inducing=min(config.num_inducing, len(train)),
-                num_outputs=config.num_outputs,
-                input_dim=config.input_dim,
-                penalization_factor=float(l_val),
-            )
-            p0 = lmc.init_lmc_params(cfg, Xn[train],
-                                     seed=random_seed or 0)
-            params, _, _ = lmc.fit_lmc(cfg, p0, Xn[train], Yn[train],
-                                       num_opt_iter=num_opt_iter)
-            Fmu, Fvar = lmc.lmc_predict_f(cfg, params, Xn[f])
-            lik_p = cfg.likelihood.constrain(params["lik_raw"])
-            ld = cfg.likelihood.predict_log_density(
-                lik_p, Fmu, Fvar, jnp.asarray(Yn[f], dtype=Fmu.dtype)
-            )
-            lls.append(float(jnp.mean(ld)))
+    for i, l_val in enumerate(lam_list):
+        lls = scores[i].tolist()
         cv_ll[float(l_val)] = lls
-        mean_ll = np.nanmean(lls)
+        mean_ll = np.nanmean(scores[i])
         if verbose:
             print(f"lambda {l_val}: mean CV ll {mean_ll:.4f}")
         if mean_ll > best["ll"]:
