@@ -1,0 +1,127 @@
+"""Iterative (CG + stochastic Lanczos) marginal-likelihood path.
+
+Validates the matmul-only objective in models/iterative.py against the
+exact Cholesky evaluation: solve accuracy, SLQ logdet accuracy, custom-VJP
+gradient agreement, and end-to-end optimization equivalence on a small
+exact-GPR problem (reference objective: model_classes.py:817-835).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveome_tpu.kernels import full_kernel_build
+from waveome_tpu.models import svgp
+from waveome_tpu.models.iterative import (
+    _mbcg,
+    exact_mll_iterative,
+    make_probes,
+    mll_iterative,
+)
+
+
+def make_problem(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(-2, 2, n)
+    d2 = (t[:, None] - t[None, :]) ** 2
+    K = 1.5 * np.exp(-0.5 * d2 / 0.7**2) + 0.4 * np.eye(n)
+    y = rng.normal(size=n)
+    return jnp.asarray(K), jnp.asarray(y)
+
+
+def test_mbcg_solves():
+    K, y = make_problem()
+    rhs = jnp.stack([y, jnp.ones_like(y)], axis=1)
+    x, *_ = _mbcg(K, rhs, n_iter=64)
+    np.testing.assert_allclose(np.asarray(K @ x), np.asarray(rhs),
+                               atol=1e-6)
+
+
+def test_mll_value_close_to_exact():
+    K, y = make_problem()
+    n = y.shape[0]
+    probes = make_probes(jax.random.PRNGKey(1), n, 16, K.dtype)
+    got = float(mll_iterative(K, y, probes, 64))
+    L = np.linalg.cholesky(np.asarray(K))
+    a = np.linalg.solve(np.asarray(K), np.asarray(y))
+    exact = (-0.5 * float(y @ a) - np.sum(np.log(np.diag(L)))
+             - 0.5 * n * np.log(2 * np.pi))
+    # quad term is CG-exact; logdet is SLQ-stochastic (full Lanczos here,
+    # so the only error is probe sampling)
+    assert abs(got - exact) / abs(exact) < 0.05
+
+
+def test_gradient_matches_exact():
+    K, y = make_problem(n=48)
+    n = y.shape[0]
+    probes = make_probes(jax.random.PRNGKey(2), n, 64, K.dtype)
+
+    g_it = jax.grad(lambda K_: mll_iterative(K_, y, probes, 48))(K)
+
+    def exact_mll(K_):
+        L = jnp.linalg.cholesky(K_)
+        a = jax.scipy.linalg.cho_solve((L, True), y)
+        return (-0.5 * jnp.sum(y * a) - jnp.sum(jnp.log(jnp.diag(L)))
+                - 0.5 * n * jnp.log(2 * jnp.pi))
+
+    g_ex = jax.grad(exact_mll)(K)
+    # alpha alpha^T part is near-exact; the K^-1 part is the stochastic
+    # probe estimator — direction must agree well
+    cos = float(jnp.sum(g_it * g_ex)
+                / (jnp.linalg.norm(g_it) * jnp.linalg.norm(g_ex)))
+    assert cos > 0.98
+    rel = float(jnp.linalg.norm(g_it - g_ex) / jnp.linalg.norm(g_ex))
+    assert rel < 0.3
+
+
+def test_exact_mll_iterative_matches_cholesky_objective():
+    rng = np.random.default_rng(3)
+    n = 60
+    ids = np.repeat(np.arange(6), 10).astype(float)
+    t = np.tile(np.linspace(-2, 2, 10), 6)
+    X = np.column_stack([ids, t])
+    y = np.sin(t) + 0.3 * rng.normal(size=n)
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    config = svgp.make_config(spec, "gaussian", num_data=n, input_dim=2,
+                              num_inducing_points=n)
+    Xd = jnp.asarray(X)
+    params = svgp.init_params(config, Xd, key=jax.random.PRNGKey(0))
+    Yd = jnp.asarray(y)[:, None]
+    probes = make_probes(jax.random.PRNGKey(4), n, 32, Xd.dtype)
+
+    it = float(exact_mll_iterative(config, params, Xd, Yd, probes,
+                                   n_iter=n))
+    ex = float(svgp.exact_mll(config, params, Xd, Yd))
+    assert abs(it - ex) / abs(ex) < 0.05
+
+    # optimizing the iterative surrogate lands near the exact optimum
+    from waveome_tpu.optimize.plbfgs import plbfgs_fit
+
+    mask = jax.tree.map(np.asarray, svgp.train_mask(config, params))
+    for k in ("q_mu", "q_sqrt_raw", "z"):
+        mask[k] = np.zeros_like(mask[k])
+
+    def loss_it(p):
+        return -exact_mll_iterative(config, p, Xd, Yd, probes, n_iter=n)
+
+    def loss_ex(p):
+        return -svgp.exact_mll(config, p, Xd, Yd)
+
+    res_it = plbfgs_fit(loss_it, params, mask=mask, max_iter=150)
+    res_ex = plbfgs_fit(loss_ex, params, mask=mask, max_iter=150)
+    # compare the EXACT objective at both optimizers' solutions
+    f_it = float(loss_ex(res_it.params))
+    f_ex = float(loss_ex(res_ex.params))
+    assert f_it <= f_ex + 0.05 * max(1.0, abs(f_ex))
+
+
+@pytest.mark.parametrize("n_iter", [8, 24])
+def test_early_truncation_still_finite(n_iter):
+    K, y = make_problem()
+    probes = make_probes(jax.random.PRNGKey(5), y.shape[0], 8, K.dtype)
+    val = float(mll_iterative(K, y, probes, n_iter))
+    assert np.isfinite(val)
+    g = jax.grad(lambda K_: mll_iterative(K_, y, probes, n_iter))(K)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -10,6 +10,7 @@ mesh. One XLA program fits the whole batch.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -55,6 +56,9 @@ def fit_outcomes_penalized(
     compute_importances: bool = True,
     dtype=None,
     device_chunk: Optional[int] = None,
+    objective: str = "auto",
+    cg_iters: int = 50,
+    cg_probes: int = 8,
 ) -> BatchFitResult:
     """Fit every column of ``Ys`` (N, B) with the penalized pipeline.
 
@@ -107,6 +111,9 @@ def fit_outcomes_penalized(
             compute_importances=compute_importances,
             dtype=dtype,
             seed=seed,
+            objective=objective,
+            cg_iters=cg_iters,
+            cg_probes=cg_probes,
         )
         return BatchFitResult(config=config, results=results,
                               num_outcomes=B)
@@ -194,7 +201,7 @@ def device_chunk_iters(device_chunk, max_iter: int, batch: int = 1) -> int:
     segments can be longer than with a sequential linesearch."""
     if device_chunk is None:
         return max_iter
-    return max(10, min(100, max_iter, 8192 // max(batch, 1)))
+    return max(10, min(100, max_iter, 16384 // max(batch, 1)))
 
 
 def _segmented_gaussian_fit(
@@ -210,23 +217,32 @@ def _segmented_gaussian_fit(
     compute_importances: bool,
     dtype,
     seed: int,
+    objective: str = "auto",
+    cg_iters: int = 50,
+    cg_probes: int = 8,
 ) -> PenalizedFitResult:
     """Whole-batch Gaussian penalized fits via segmented L-BFGS.
 
     Semantics identical to penalized_fit(collapsed, num_factor_iter=0):
     exact MLL (M=N) / collapsed bound (M<N) + horseshoe prior, optimal-q
     materialization, pruning, importances.
+
+    ``objective``: "cholesky" evaluates the exact dense MLL;
+    "iterative" optimizes the matmul-only CG/SLQ surrogate
+    (models/iterative.py — the BBMM fast path; final losses are
+    recomputed exactly); "auto" picks iterative on the float32
+    exact-Gaussian TPU path and cholesky elsewhere.
     """
-    import jax.numpy as jnp
-
-    from .penalized import penalized_finalize
-
     N, B = Ys_np.shape
     num_var = config.spec.num_variance_prior_params()
     exact_gaussian = config.num_inducing >= N
     f32_mode = dtype == jnp.float32
-    tol = 3e-5 if f32_mode else 1e-8
-    var_cap = 1e3
+    iterative = objective == "iterative" or (
+        objective == "auto" and exact_gaussian and f32_mode
+    )
+    if iterative and not exact_gaussian:
+        raise ValueError(
+            "objective='iterative' requires the exact Gaussian path (M=N)")
 
     # per-outcome auto factor (host): 2·1.1·σ̂·√N·Φ⁻¹(1−0.1/2p) with σ̂=1
     # for the no-iteration case (model_search.py:279-283)
@@ -237,21 +253,157 @@ def _segmented_gaussian_fit(
     else:
         factors_np = np.full(B, float(penalization_factor))
 
-    mask_np = jax.tree.map(
-        np.asarray,
-        svgp.train_mask(
-            config,
-            jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np),
-        ),
+    X_dev = jnp.asarray(X_np, dtype=dtype)
+    p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np)
+    if iterative:
+        from ..models.iterative import make_probes
+
+        probes_dev = make_probes(jax.random.PRNGKey(seed + 7919), N,
+                                 cg_probes, dtype)
+    else:
+        probes_dev = jnp.zeros((N, 1), dtype=dtype)
+    data = (X_dev, p0_dev, probes_dev)
+    Ys_dev = jnp.asarray(Ys_np.T[:, :, None], dtype=dtype)
+    factors = jnp.asarray(factors_np, dtype=dtype)
+
+    def run_segments(fns, p0_batched, budget, res_prev=None):
+        """Segmented loop with batch compaction: converged outcomes are
+        dropped between segments and survivors repacked into power-of-two
+        buckets, so late stragglers don't drag the whole batch width
+        through every remaining segment. Each bucket width is its own
+        (cached) XLA program. ``p0_batched``: optional per-outcome start
+        params (phase handoff); else the shared init is used."""
+        first_fn, next_fn, first_b_fn = fns
+        bound = min(segment_iters, budget)
+        if p0_batched is None:
+            res, carry = first_fn(Ys_dev, factors, jnp.asarray(bound),
+                                  data)
+        else:
+            res, carry = first_b_fn(Ys_dev, factors, jnp.asarray(bound),
+                                    p0_batched, data)
+        res_full = res
+        idx_cur = np.arange(B)  # current-batch position -> original column
+        n_valid = B
+        carry_cur, ys_cur, fac_cur = carry, Ys_dev, factors
+        while bound < budget:
+            conv = np.asarray(res.converged)[:n_valid]
+            active = np.nonzero(~conv)[0]
+            if active.size == 0:
+                break
+            width = len(idx_cur)
+            target = max(8, 1 << int(np.ceil(np.log2(active.size))))
+            if target <= width // 2:
+                sel = np.concatenate(
+                    [active, np.repeat(active[:1], target - active.size)]
+                )
+                take = jnp.asarray(sel)
+                carry_cur = jax.tree.map(lambda a: a[take], carry_cur)
+                ys_cur = ys_cur[take]
+                fac_cur = fac_cur[take]
+                idx_cur = idx_cur[sel]
+                n_valid = active.size
+            bound = min(bound + segment_iters, budget)
+            res, carry_cur = next_fn(carry_cur, ys_cur, fac_cur,
+                                     jnp.asarray(bound), data)
+            put = jnp.asarray(idx_cur[:n_valid])
+            res_full = jax.tree.map(
+                lambda full, part: full.at[put].set(part[:n_valid]),
+                res_full, res,
+            )
+        return res_full
+
+    if iterative:
+        # Two-phase: most iterations ride the cheap matmul-only surrogate,
+        # then the exact Cholesky objective refines from those params —
+        # restoring exact line-search rejections (the surrogate can drift
+        # into regions where the exact f32 Cholesky fails) and exact
+        # convergence decisions.
+        budget1 = max(segment_iters, int(max_iter * 0.6))
+        res1 = run_segments(
+            _seg_fit_fns(config, exact_gaussian, True, cg_iters,
+                         np.dtype(dtype).name),
+            None, budget1,
+        )
+        fns_exact = _seg_fit_fns(config, exact_gaussian, False, cg_iters,
+                                 np.dtype(dtype).name)
+        res = run_segments(fns_exact, res1.params,
+                           max(segment_iters, max_iter - budget1))
+        res = res._replace(num_iters=res.num_iters + res1.num_iters)
+    else:
+        res = run_segments(
+            _seg_fit_fns(config, exact_gaussian, False, cg_iters,
+                         np.dtype(dtype).name),
+            None, max_iter,
+        )
+
+    # optimal-q materialization + finalize in bounded outcome chunks
+    # (the iterative mode's phase-2 refinement runs the exact objective,
+    # so res.loss is always an exact value)
+    q_fn, fin_fn, _ = _seg_final_fns(
+        config, float(var_cutoff), importance_type,
+        bool(compute_importances), exact_gaussian, f32_mode,
+        np.dtype(dtype).name,
     )
+
+    FIN_CHUNK = 32
+    p_parts, cm_parts, fm_parts, imp_parts = [], [], [], []
+    for lo in range(0, B, FIN_CHUNK):
+        sl = slice(lo, min(lo + FIN_CHUNK, B))
+        p_i = jax.tree.map(lambda a: a[sl], res.params)
+        y_i = Ys_dev[sl]
+        p_i = q_fn(p_i, y_i, X_dev)
+        cm_i, fm_i, imp_i = fin_fn(p_i, y_i, X_dev)
+        p_parts.append(p_i)
+        cm_parts.append(cm_i)
+        fm_parts.append(fm_i)
+        imp_parts.append(imp_i)
+    params = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *p_parts)
+    cm = jnp.concatenate(cm_parts, axis=0)
+    fm = jnp.concatenate(fm_parts, axis=0)
+    imp = jnp.concatenate(imp_parts, axis=0)
+    loss = res.loss
+    return PenalizedFitResult(
+        params=params,
+        penalization_factor=factors,
+        component_mask=cm,
+        factor_mask=fm,
+        importances=imp,
+        loss=loss,
+        num_iters=res.num_iters,
+    )
+
+
+@lru_cache(maxsize=64)
+def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
+                 cg_iters: int, dtype_name: str):
+    """Jitted segment steppers, cached on the static configuration.
+
+    Module-level + lru_cache: per-call closures would make jax.jit
+    re-trace and re-lower the whole segmented L-BFGS program on every
+    ``fit_outcomes_penalized`` call even with a warm compile cache.
+    """
+    dtype = jnp.dtype(dtype_name)
+    f32_mode = dtype == jnp.float32
+    tol = 3e-5 if f32_mode else 1e-8
+    var_cap = 1e3
+    M, D = config.num_inducing, config.input_dim
+    dummy = svgp.init_params(config, jnp.zeros((M, D), dtype=dtype),
+                             key=jax.random.PRNGKey(0), dtype=dtype)
+    mask_np = jax.tree.map(np.asarray, svgp.train_mask(config, dummy))
     for k in ("q_mu", "q_sqrt_raw"):
         mask_np[k] = np.zeros_like(mask_np[k])
     if exact_gaussian:
         mask_np["z"] = np.zeros_like(mask_np["z"])
 
-    def make_loss(y, factor, X):
+    def make_loss(y, factor, X, probes):
         def loss(p):
-            if exact_gaussian:
+            if iterative:
+                from ..models.iterative import exact_mll_iterative
+
+                fitobj = exact_mll_iterative(config, p, X, y, probes,
+                                             n_iter=cg_iters)
+            elif exact_gaussian:
                 fitobj = svgp.exact_mll(config, p, X, y)
             else:
                 fitobj = svgp.collapsed_elbo(config, p, X, y)
@@ -271,41 +423,41 @@ def _segmented_gaussian_fit(
     # trial count (optimize/plbfgs.py). Same losses/masks as the zoom
     # variant on this objective.
     def first_seg(y, factor, bound, data):
-        X, p0 = data
-        return plbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
-                          max_iter=bound, tol=tol, return_carry=True)
+        X, p0, probes = data
+        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+                          mask=mask_np, max_iter=bound, tol=tol,
+                          return_carry=True)
 
     def next_seg(carry, y, factor, bound, data):
-        X, p0 = data
-        return plbfgs_fit(make_loss(y, factor, X), p0, mask=mask_np,
-                          max_iter=bound, tol=tol, carry=carry,
+        X, p0, probes = data
+        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+                          mask=mask_np, max_iter=bound, tol=tol,
+                          carry=carry, return_carry=True)
+
+    def first_seg_b(y, factor, bound, p0, data):
+        # per-outcome start params (phase handoff between objectives)
+        X, _, probes = data
+        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+                          mask=mask_np, max_iter=bound, tol=tol,
                           return_carry=True)
 
     first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))
     next_fn = jax.jit(jax.vmap(next_seg, in_axes=(0, 0, 0, None, None)))
+    first_b_fn = jax.jit(jax.vmap(first_seg_b,
+                                  in_axes=(0, 0, None, 0, None)))
     # (carry is vmapped axis 0; bound and data broadcast)
+    return first_fn, next_fn, first_b_fn
 
-    X_dev = jnp.asarray(X_np, dtype=dtype)
-    p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0_np)
-    data = (X_dev, p0_dev)  # mask_np stays a static numpy closure
-    Ys_dev = jnp.asarray(Ys_np.T[:, :, None], dtype=dtype)
-    factors = jnp.asarray(factors_np, dtype=dtype)
 
-    bound = min(segment_iters, max_iter)
-    res, carry = first_fn(Ys_dev, factors, jnp.asarray(bound), data)
-    while bound < max_iter:
-        if bool(jnp.all(res.converged)):
-            break
-        bound = min(bound + segment_iters, max_iter)
-        res, carry = next_fn(carry, Ys_dev, factors, jnp.asarray(bound),
-                             data)
+@lru_cache(maxsize=64)
+def _seg_final_fns(config, var_cutoff: float, importance_type: str,
+                   compute_importances: bool, exact_gaussian: bool,
+                   f32_mode: bool, dtype_name: str):
+    from .penalized import penalized_finalize
 
-    # optimal-q materialization + finalize in bounded outcome chunks
     def qstep(p, y, X):
         q_mu, q_sqrt = svgp.optimal_q(config, p, X, y)
         return dict(p, q_mu=q_mu, q_sqrt_raw=q_sqrt)
-
-    q_fn = jax.jit(jax.vmap(qstep, in_axes=(0, 0, None)))
 
     def finalize(p, y, X):
         return penalized_finalize(
@@ -314,31 +466,13 @@ def _segmented_gaussian_fit(
             compute_importances=compute_importances,
         )
 
-    fin_fn = jax.jit(jax.vmap(finalize, in_axes=(0, 0, None)))
+    def exact_loss(p, y, X, factor):
+        fitobj = (svgp.exact_mll(config, p, X, y) if exact_gaussian
+                  else svgp.collapsed_elbo(config, p, X, y))
+        return -(fitobj + svgp.log_prior_density(config, p, factor))
 
-    FIN_CHUNK = 32
-    p_parts, cm_parts, fm_parts, imp_parts = [], [], [], []
-    for lo in range(0, B, FIN_CHUNK):
-        sl = slice(lo, min(lo + FIN_CHUNK, B))
-        p_i = jax.tree.map(lambda a: a[sl], res.params)
-        y_i = Ys_dev[sl]
-        p_i = q_fn(p_i, y_i, X_dev)
-        cm_i, fm_i, imp_i = fin_fn(p_i, y_i, X_dev)
-        p_parts.append(p_i)
-        cm_parts.append(cm_i)
-        fm_parts.append(fm_i)
-        imp_parts.append(imp_i)
-    params = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
-                          *p_parts)
-    cm = jnp.concatenate(cm_parts, axis=0)
-    fm = jnp.concatenate(fm_parts, axis=0)
-    imp = jnp.concatenate(imp_parts, axis=0)
-    return PenalizedFitResult(
-        params=params,
-        penalization_factor=factors,
-        component_mask=cm,
-        factor_mask=fm,
-        importances=imp,
-        loss=res.loss,
-        num_iters=res.num_iters,
+    return (
+        jax.jit(jax.vmap(qstep, in_axes=(0, 0, None))),
+        jax.jit(jax.vmap(finalize, in_axes=(0, 0, None))),
+        jax.jit(jax.vmap(exact_loss, in_axes=(0, 0, None, 0))),
     )

@@ -128,12 +128,29 @@ def gram_diag(
 # ---------------------------------------------------------------------------
 
 _N_OPS = len(ops.OP_NAMES)
+_ALL_OPS = tuple(range(_N_OPS))
 
 
-def _factor_gram(op, p, x1, x2, degree):
-    """lax.switch over op codes; EMPTY returns multiplicative identity."""
+def _code_index(op, table):
+    """Map a traced raw op code to its (static) position in ``table``."""
+    if table == _ALL_OPS:
+        return op
+    idx = jnp.zeros_like(op)
+    for i, code in enumerate(table):
+        idx = jnp.where(op == code, i, idx)
+    return idx
+
+
+def _factor_gram(op, p, x1, x2, degree, table=_ALL_OPS):
+    """lax.switch over op codes; EMPTY returns multiplicative identity.
+
+    ``table``: static tuple of the op codes that can actually occur —
+    the switch emits one gram subgraph PER BRANCH per factor, so
+    restricting the table to the ops present in a search (engine passes
+    ``config.coded_ops``) shrinks compile time ~3x.
+    """
     branches = []
-    for code in range(_N_OPS):
+    for code in table:
         fn = ops.GRAM_FNS[code]
         if code == ops.EMPTY:
             branches.append(
@@ -142,22 +159,23 @@ def _factor_gram(op, p, x1, x2, degree):
             )
         else:
             branches.append(partial(_call_full, fn))
-    return jax.lax.switch(op, branches, p, x1, x2, degree)
+    return jax.lax.switch(_code_index(op, table), branches,
+                          p, x1, x2, degree)
 
 
 def _call_full(fn, p, a, b, d):
     return fn(p, a, b, degree=d, order=1)
 
 
-def _factor_diag(op, p, x, degree):
+def _factor_diag(op, p, x, degree, table=_ALL_OPS):
     branches = []
-    for code in range(_N_OPS):
+    for code in table:
         fn = ops.DIAG_FNS[code]
         if code == ops.EMPTY:
             branches.append(lambda p, a, d: jnp.ones_like(a))
         else:
             branches.append(partial(_call_diag, fn))
-    return jax.lax.switch(op, branches, p, x, degree)
+    return jax.lax.switch(_code_index(op, table), branches, p, x, degree)
 
 
 def _call_diag(fn, p, a, d):
@@ -170,13 +188,18 @@ def gram_coded(
     X1: jnp.ndarray,
     X2: Optional[jnp.ndarray] = None,
     component_mask: Optional[jnp.ndarray] = None,
+    ops_table: Optional[tuple] = None,
 ):
     """Gram with runtime structure. ``coded`` from ``KernelSpec.coded()``.
+
+    ``ops_table``: static tuple restricting the per-factor op switch to the
+    codes that can occur (must include EMPTY); None = all ops.
 
     Note: arccosine order is fixed to the gpflow default (1) in coded mode.
     """
     if X2 is None:
         X2 = X1
+    table = ops_table or _ALL_OPS
     params = constrain(raw)
     op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
     C, F = op_arr.shape
@@ -188,7 +211,7 @@ def gram_coded(
             x1 = jnp.take(X1, dim_arr[i, j], axis=1)
             x2 = jnp.take(X2, dim_arr[i, j], axis=1)
             Kc = Kc * _factor_gram(op_arr[i, j], params[i, j], x1, x2,
-                                   deg_arr[i, j])
+                                   deg_arr[i, j], table)
         active = jnp.any(op_arr[i] != ops.EMPTY).astype(X1.dtype)
         if component_mask is not None:
             active = active * component_mask[i]
@@ -201,7 +224,9 @@ def gram_diag_coded(
     raw: jnp.ndarray,
     X: jnp.ndarray,
     component_mask: Optional[jnp.ndarray] = None,
+    ops_table: Optional[tuple] = None,
 ):
+    table = ops_table or _ALL_OPS
     params = constrain(raw)
     op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
     C, F = op_arr.shape
@@ -211,7 +236,7 @@ def gram_diag_coded(
         for j in range(F):
             x = jnp.take(X, dim_arr[i, j], axis=1)
             kd = kd * _factor_diag(op_arr[i, j], params[i, j], x,
-                                   deg_arr[i, j])
+                                   deg_arr[i, j], table)
         active = jnp.any(op_arr[i] != ops.EMPTY).astype(X.dtype)
         if component_mask is not None:
             active = active * component_mask[i]

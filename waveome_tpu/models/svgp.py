@@ -59,6 +59,7 @@ class SVGPConfig:
     whiten: bool = True
     mean_function: str = "constant"  # "constant" | "zero"
     coded_structure: bool = False  # runtime op-code dispatch (search batching)
+    coded_ops: tuple = ()  # static op-code table restricting coded dispatch
 
     @property
     def num_components(self) -> int:
@@ -73,6 +74,7 @@ def make_config(
     num_inducing_points: int = 500,
     train_inducing: bool = True,
     coded_structure: bool = False,
+    coded_ops: tuple = (),
 ) -> SVGPConfig:
     """Inducing-point sizing rules of SparseGP (model_classes.py:724-737):
     if M ≥ N use all data and freeze."""
@@ -91,6 +93,7 @@ def make_config(
         input_dim=input_dim,
         train_inducing=train_inducing,
         coded_structure=coded_structure,
+        coded_ops=tuple(coded_ops),
     )
 
 
@@ -157,7 +160,9 @@ def num_trainable_params(config: SVGPConfig, params) -> int:
 def _K(config, params, X1, X2=None, component_mask=None, coded=None,
        factor_mask=None):
     if config.coded_structure:
-        return gram_coded(coded, params["kernel_raw"], X1, X2, component_mask)
+        return gram_coded(coded, params["kernel_raw"], X1, X2,
+                          component_mask,
+                          ops_table=config.coded_ops or None)
     return gram(config.spec, params["kernel_raw"], X1, X2, component_mask,
                 factor_mask)
 
@@ -165,7 +170,9 @@ def _K(config, params, X1, X2=None, component_mask=None, coded=None,
 def _Kdiag(config, params, X, component_mask=None, coded=None,
            factor_mask=None):
     if config.coded_structure:
-        return gram_diag_coded(coded, params["kernel_raw"], X, component_mask)
+        return gram_diag_coded(coded, params["kernel_raw"], X,
+                               component_mask,
+                               ops_table=config.coded_ops or None)
     return gram_diag(config.spec, params["kernel_raw"], X, component_mask,
                      factor_mask)
 

@@ -38,6 +38,7 @@ class PLBFGSState(NamedTuple):
     count: jnp.ndarray
     stepsize: jnp.ndarray
     n_pairs: jnp.ndarray
+    stall: jnp.ndarray  # iterations since a relative improvement > ftol
 
 
 class PLBFGSResult(NamedTuple):
@@ -100,26 +101,54 @@ def plbfgs_fit(
     carry: Optional[PLBFGSState] = None,
     return_carry: bool = False,
     armijo_c1: float = 1e-4,
+    ftol: float = 1e-6,
+    patience: int = 8,
 ):
-    """Minimize ``loss_fn(params)`` over the static-mask free subset.
+    """Minimize ``loss_fn(params)`` over the masked free subset.
 
-    ``mask`` MUST be a numpy pytree (static). ``max_iter`` may be traced
-    (segmented execution: pass the returned state back as ``carry``).
+    ``mask``: a numpy pytree (STATIC) enables subset optimization — the
+    optimization vector holds only the free entries (L-BFGS history
+    O(m·n_free)). A traced/jnp mask falls back to full-vector mode with
+    frozen entries pinned via ``where`` (zero gradient, zero curvature
+    contribution) — needed when the mask differs per vmapped batch member
+    (the search engine's per-candidate structures). ``max_iter`` may be
+    traced (segmented execution: pass the returned state back as
+    ``carry``).
+
+    Convergence: gradient norm < ``tol`` (scipy gtol semantics), or no
+    relative objective improvement > ``ftol`` for ``patience`` consecutive
+    iterations (scipy ftol semantics — in float32 the gradient tolerance
+    is often unreachable while the objective has long plateaued, which
+    would make every batch member ride to max_iter).
     """
     flat0, unravel = ravel_pytree(params0)
-    mask_np = np.concatenate([
-        np.asarray(leaf).reshape(-1) for leaf in jax.tree.leaves(mask)
-    ])
-    assert mask_np.shape[0] == flat0.shape[0]
-    free_idx = jnp.asarray(np.nonzero(mask_np)[0])
-    d = int(mask_np.sum())
+    static_subset = all(
+        isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(mask)
+    )
     dtype = flat0.dtype
     big = jnp.asarray(1e15, dtype=dtype)
 
-    def f(xfree):
-        merged = flat0.at[free_idx].set(xfree)
-        v = loss_fn(unravel(merged))
-        return jnp.where(jnp.isfinite(v), v, big)
+    if static_subset:
+        mask_np = np.concatenate([
+            np.asarray(leaf).reshape(-1) for leaf in jax.tree.leaves(mask)
+        ])
+        assert mask_np.shape[0] == flat0.shape[0]
+        free_idx = jnp.asarray(np.nonzero(mask_np)[0])
+        d = int(mask_np.sum())
+
+        def f(xfree):
+            merged = flat0.at[free_idx].set(xfree)
+            v = loss_fn(unravel(merged))
+            return jnp.where(jnp.isfinite(v), v, big)
+    else:
+        mask_flat, _ = ravel_pytree(mask)
+        free_idx = None
+        d = flat0.shape[0]
+
+        def f(x):
+            merged = jnp.where(mask_flat, x, flat0)
+            v = loss_fn(unravel(merged))
+            return jnp.where(jnp.isfinite(v), v, big)
 
     grad_f = jax.grad(f)
     trials = jnp.asarray(_TRIALS, dtype=dtype)
@@ -174,24 +203,29 @@ def plbfgs_fit(
                              state.stepsize * 0.1)
         new_step = jnp.clip(new_step, 1e-8, 1e4)
 
+        rel_improve = (state.f_val - f_new) / jnp.maximum(
+            jnp.abs(state.f_val), 1.0
+        )
+        stall = jnp.where(rel_improve > ftol, 0, state.stall + 1)
+
         return PLBFGSState(
             x=x_new, f_val=f_new, g=g_new,
             s_hist=s_hist, y_hist=y_hist, rho=rho,
             count=count_pairs, stepsize=new_step,
-            n_pairs=n_pairs,
+            n_pairs=n_pairs, stall=stall,
         )
 
     def cond(carry_):
         state, it = carry_
         gnorm = jnp.linalg.norm(state.g)
-        return (it < max_iter) & (gnorm >= tol)
+        return (it < max_iter) & (gnorm >= tol) & (state.stall < patience)
 
     def body(carry_):
         state, it = carry_
         return step(state), it + 1
 
     if carry is None:
-        x0 = flat0[free_idx]
+        x0 = flat0[free_idx] if free_idx is not None else flat0
         f0 = f(x0)
         g0 = grad_f(x0)
         state0 = PLBFGSState(
@@ -202,6 +236,7 @@ def plbfgs_fit(
             count=jnp.asarray(0),
             stepsize=jnp.asarray(1.0, dtype=dtype),
             n_pairs=jnp.asarray(0),
+            stall=jnp.asarray(0),
         )
         it0 = jnp.asarray(0)
     else:
@@ -210,12 +245,22 @@ def plbfgs_fit(
     state_fin, it_fin = jax.lax.while_loop(cond, body, (state0, it0))
 
     bad = ~jnp.isfinite(state_fin.f_val) | (state_fin.f_val >= big)
-    x_merged = flat0.at[free_idx].set(state_fin.x)
+    if free_idx is not None:
+        x_merged = flat0.at[free_idx].set(state_fin.x)
+    else:
+        x_merged = jnp.where(mask_flat, state_fin.x, flat0)
     x_out = jnp.where(bad, flat0, x_merged)
-    converged = (jnp.linalg.norm(state_fin.g) < tol) & ~bad
+    converged = (
+        (jnp.linalg.norm(state_fin.g) < tol)
+        | (state_fin.stall >= patience)
+    ) & ~bad
     result = PLBFGSResult(
         params=unravel(x_out),
-        loss=jnp.where(bad, f(flat0[free_idx]), state_fin.f_val),
+        loss=jnp.where(
+            bad,
+            f(flat0[free_idx] if free_idx is not None else flat0),
+            state_fin.f_val,
+        ),
         num_iters=it_fin,
         converged=converged,
     )

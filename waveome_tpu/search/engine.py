@@ -11,6 +11,7 @@ search incurs only a handful of compiles.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
@@ -20,7 +21,7 @@ import numpy as np
 from ..config import default_float
 from ..kernels.spec import KernelSpec
 from ..models import svgp
-from ..optimize import lbfgs_fit
+from ..optimize.plbfgs import plbfgs_fit
 
 
 class CandidateFit(NamedTuple):
@@ -33,6 +34,132 @@ class CandidateFit(NamedTuple):
 def _stack_coded(specs: Sequence[KernelSpec], C: int, F: int):
     coded = [s.padded(C, F).coded() for s in specs]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *coded)
+
+
+def _bucket(n: int, buckets) -> int:
+    """Round n up to the next bucket (last bucket's granularity above)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    step = buckets[-1] - buckets[-2] if len(buckets) > 1 else buckets[-1]
+    return buckets[-1] + ((n - buckets[-1] + step - 1) // step) * step
+
+
+# Width/shape buckets: every distinct (n_cand, C, F) combination is its own
+# XLA program, and a greedy search sweeps dozens of candidate counts and a
+# new component count per depth — unbucketed, that's a compile per
+# expansion step (the round-1 test-suite blowup). Bucketing pads candidates
+# (dup of slot 0, masked out of results) and kernel shape (EMPTY ops) so an
+# entire search reuses a handful of compiled programs across depths, and
+# repeat searches hit the persistent cache.
+_WIDTH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+_C_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24)
+_F_BUCKETS = (2, 3, 4, 6, 8)
+
+
+@lru_cache(maxsize=128)
+def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
+                dtype_name: str):
+    """Jitted vmapped candidate fitter, cached on the static configuration.
+
+    Module-level + lru_cache so repeated ``fit_candidates`` calls reuse one
+    traced program. A per-call closure would make jax.jit re-trace and
+    re-lower the whole L-BFGS while_loop on EVERY expansion step (~2 min
+    per call on CPU) even when the persistent compile cache is warm.
+    """
+    dtype = jnp.dtype(dtype_name)
+    M = config.num_inducing
+
+    def one_fit(coded_i, raw_i, kmask_i, key, randomize, data, y_col):
+        X, Ymat, tmpl, Xh, Yhmat = data
+        Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
+        Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
+        mask = {
+            "kernel_raw": kmask_i > 0,
+            "mean_c": jnp.ones((1,), dtype=bool),
+            "lik_raw": jnp.ones_like(tmpl["lik_raw"], dtype=bool),
+            "q_mu": jnp.ones_like(tmpl["q_mu"], dtype=bool),
+            "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
+            "z": jnp.full(tmpl["z"].shape, config.train_inducing,
+                          dtype=bool),
+        }
+        p0 = {k: v for k, v in tmpl.items()}
+        p0["kernel_raw"] = raw_i
+        if randomize:
+            k1, k2, k4 = jax.random.split(key, 3)
+            p0["kernel_raw"] = jnp.where(
+                mask["kernel_raw"],
+                jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i
+            )
+            p0["mean_c"] = jax.random.normal(k2, (1,), dtype=dtype)
+            p0["q_sqrt_raw"] = jnp.diag(
+                jax.random.exponential(k4, (M,), dtype=dtype)
+            )
+
+        # parallel-linesearch L-BFGS (traced per-candidate mask → full-
+        # vector mode): flat trial grid instead of the nested zoom
+        # while_loops — compiles minutes faster per shape and doesn't pay
+        # worst-case trial counts under vmap
+        ftol = 1e-9 if dtype == jnp.float64 else 1e-6
+        if config.likelihood.name == "gaussian":
+            # collapsed (Titsias) bound: optimal-q in closed form, so the
+            # optimization vector is ~tens of hyperparameters instead of
+            # O(M^2) variational entries. At the optimum this equals the
+            # jointly-optimized explicit-q ELBO the reference's scipy path
+            # reaches (model_classes.py:299-342); q is materialized after.
+            keys_opt = ("kernel_raw", "mean_c", "lik_raw")
+            p0_opt = {k: p0[k] for k in keys_opt}
+            mask_opt = {k: mask[k] for k in keys_opt}
+
+            def loss(ps):
+                full = dict(p0, **ps)
+                return -svgp.collapsed_elbo(config, full, X, Y,
+                                            coded=coded_i)
+
+            res = plbfgs_fit(loss, p0_opt, mask=mask_opt,
+                             max_iter=max_iter, tol=1e-8, ftol=ftol,
+                             patience=10)
+            full = dict(p0, **res.params)
+            q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y,
+                                          coded=coded_i)
+            res = res._replace(
+                params=dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
+            )
+        else:
+            def loss(p):
+                return svgp.training_loss(config, p, X, Y, coded=coded_i)
+
+            res = plbfgs_fit(loss, p0, mask=mask, max_iter=max_iter,
+                             tol=1e-8, ftol=ftol, patience=10)
+        loglik = -res.loss  # log posterior (no priors → ELBO)
+        if split:
+            hold = jnp.sum(
+                svgp.predict_log_density(config, res.params, Xh, Yh,
+                                         coded=coded_i)
+            )
+        else:
+            hold = jnp.zeros((), dtype=dtype)
+        return res.params, loglik, hold
+
+    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col):
+        if n_fits == 1:
+            return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
+                           randomize=False, data=data, y_col=y_col)
+        params, logliks, holds = jax.vmap(
+            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True,
+                              data=data, y_col=y_col)
+        )(keys_i)
+        # best restart by max loglik (random_restart_optimize,
+        # model_classes.py:511-522), NaN-safe
+        ll = jnp.where(jnp.isfinite(logliks), logliks, -jnp.inf)
+        best = jnp.argmax(ll)
+        return (
+            jax.tree.map(lambda a: a[best], params),
+            logliks[best],
+            holds[best],
+        )
+
+    return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, 0, 0, None, 0)))
 
 
 def num_param_groups(spec: KernelSpec, likelihood, train_inducing: bool
@@ -83,21 +210,41 @@ def fit_candidates(
     multi = y_cols is not None
     if not multi:
         y_cols = [0] * len(specs)
-    y_cols_arr = jnp.asarray(np.asarray(y_cols, dtype=np.int32))
     N = X_np.shape[0]
     n_cand = len(specs)
 
+    # pad the candidate list to a bucketed width (slot-0 duplicates,
+    # sliced off the results below) so expansion steps of different sizes
+    # share one compiled program
+    n_pad = _bucket(n_cand, _WIDTH_BUCKETS)
+    specs = list(specs) + [specs[0]] * (n_pad - n_cand)
+    y_cols = list(y_cols) + [y_cols[0]] * (n_pad - n_cand)
+    y_cols_arr = jnp.asarray(np.asarray(y_cols, dtype=np.int32))
+
     if pad_shape is None:
-        C = max(s.num_components for s in specs)
-        F = max(max(s.max_factors for s in specs), 2)
+        C = _bucket(max(s.num_components for s in specs), _C_BUCKETS)
+        F = _bucket(max(max(s.max_factors for s in specs), 2), _F_BUCKETS)
     else:
         C, F = pad_shape
     coded = _stack_coded(specs, C, F)
+
+    # static op table: the coded-dispatch switch emits one gram subgraph
+    # per branch per factor — restrict it to the ops this search can
+    # actually produce (EMPTY always included for padding)
+    from ..kernels import ops as _ops
+
+    present = {_ops.EMPTY}
+    for s in specs:
+        for comp in s.components:
+            for prim in comp:
+                present.add(prim.code)
+    ops_table = tuple(sorted(present))
 
     base_spec = specs[0].padded(C, F)
     config = svgp.make_config(
         base_spec, likelihood, num_data=N, input_dim=X_np.shape[1],
         num_inducing_points=num_inducing_points, coded_structure=True,
+        coded_ops=ops_table,
     )
 
     raw0 = jnp.stack([
@@ -117,8 +264,8 @@ def fit_candidates(
 
     seed = random_seed if random_seed is not None else 0
     n_fits = num_restart if num_restart > 1 else 1
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_cand * n_fits)
-    keys = keys.reshape(n_cand, n_fits, 2)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_pad * n_fits)
+    keys = keys.reshape(n_pad, n_fits, 2)
 
     if split:
         Xh_np = np.asarray(X_holdout, dtype=np.float64)
@@ -126,68 +273,8 @@ def fit_candidates(
         if Yh_np.ndim == 1:
             Yh_np = Yh_np[:, None]
 
-    def one_fit(coded_i, raw_i, kmask_i, key, randomize, data, y_col):
-        X, Ymat, tmpl, Xh, Yhmat = data
-        Y = jax.lax.dynamic_slice_in_dim(
-            Ymat, y_col, 1, axis=1
-        )
-        Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
-        mask = {
-            "kernel_raw": kmask_i > 0,
-            "mean_c": jnp.ones((1,), dtype=bool),
-            "lik_raw": jnp.ones_like(tmpl["lik_raw"], dtype=bool),
-            "q_mu": jnp.ones_like(tmpl["q_mu"], dtype=bool),
-            "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
-            "z": jnp.full(tmpl["z"].shape, config.train_inducing,
-                          dtype=bool),
-        }
-        p0 = {k: v for k, v in tmpl.items()}
-        p0["kernel_raw"] = raw_i
-        if randomize:
-            k1, k2, k4 = jax.random.split(key, 3)
-            p0["kernel_raw"] = jnp.where(
-                mask["kernel_raw"],
-                jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i
-            )
-            p0["mean_c"] = jax.random.normal(k2, (1,), dtype=dtype)
-            p0["q_sqrt_raw"] = jnp.diag(
-                jax.random.exponential(k4, (M,), dtype=dtype)
-            )
-
-        def loss(p):
-            return svgp.training_loss(config, p, X, Y, coded=coded_i)
-
-        res = lbfgs_fit(loss, p0, mask=mask, max_iter=max_iter)
-        loglik = -res.loss  # log posterior (no priors → ELBO)
-        if split:
-            hold = jnp.sum(
-                svgp.predict_log_density(config, res.params, Xh, Yh,
-                                         coded=coded_i)
-            )
-        else:
-            hold = jnp.zeros((), dtype=dtype)
-        return res.params, loglik, hold
-
-    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col):
-        if n_fits == 1:
-            return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
-                           randomize=False, data=data, y_col=y_col)
-        params, logliks, holds = jax.vmap(
-            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True,
-                              data=data, y_col=y_col)
-        )(keys_i)
-        # best restart by max loglik (random_restart_optimize,
-        # model_classes.py:511-522), NaN-safe
-        ll = jnp.where(jnp.isfinite(logliks), logliks, -jnp.inf)
-        best = jnp.argmax(ll)
-        return (
-            jax.tree.map(lambda a: a[best], params),
-            logliks[best],
-            holds[best],
-        )
-
-    fit_all = jax.jit(jax.vmap(per_candidate,
-                               in_axes=(0, 0, 0, 0, None, 0)))
+    fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
+                          np.dtype(dtype).name)
     data = (
         jnp.asarray(X_np, dtype=dtype),
         jnp.asarray(Y_np, dtype=dtype),
@@ -200,8 +287,11 @@ def fit_candidates(
     params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
                                      y_cols_arr)
 
-    logliks = np.asarray(logliks)
-    holds = np.asarray(holds)
+    # drop bucket-padding duplicates
+    params = jax.tree.map(lambda a: a[:n_cand], params)
+    logliks = np.asarray(logliks)[:n_cand]
+    holds = np.asarray(holds)[:n_cand]
+    specs = specs[:n_cand]
 
     bics = np.empty(n_cand)
     lik = config.likelihood
