@@ -116,10 +116,11 @@ def main():
     hits = {"diagnosis": 0, "week": 0, "id": 0, "abx": 0}
     for j, (name, model) in enumerate(gps.models.items()):
         imp = model.component_importance_dict
-        if not imp:
+        finite = [(v, k) for k, v in imp.items()
+                  if k != "residual" and np.isfinite(v)]
+        if not finite:  # fully pruned model (null outcome)
             continue
-        top = max((v, k) for k, v in imp.items()
-                  if k != "residual" and np.isfinite(v))[1]
+        top = max(finite)[1]
         kind = j % 5
         if kind == 0 and "diagnosis" in top:
             hits["diagnosis"] += 1

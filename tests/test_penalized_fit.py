@@ -143,3 +143,26 @@ def test_prune_masks_var_and_lengthscale():
     cm, fm = np.asarray(cm), np.asarray(fm)
     assert cm[2] == 0.0
     assert cm[3] == 1.0 and fm[3, 0] == 1.0 and fm[3, 1] == 0.0
+
+
+def test_segmented_mesh_matches_single_device():
+    """Segmented driver under the 8-device CPU mesh (sharded outcome
+    axis, batch padded to a device multiple, compaction in device
+    multiples) produces the same fits as the single-device segmented
+    run."""
+    X, Ys, spec, _ = _setup()
+    # 10 outcomes -> padded to 16 on 8 devices; small segments force
+    # several compaction rounds
+    Ys10 = np.concatenate([Ys, Ys, Ys, Ys[:, :1]], axis=1)
+    kw = dict(spec=spec, likelihood="gaussian", num_factor_iter=0,
+              max_iter=200, device_chunk=4)
+    mesh_run = fit_outcomes_penalized(X, Ys10, use_mesh=True, **kw)
+    single = fit_outcomes_penalized(X, Ys10, use_mesh=False, **kw)
+    assert mesh_run.num_outcomes == 10
+    lm = np.asarray(mesh_run.results.loss)
+    ls = np.asarray(single.results.loss)
+    assert np.all(np.isfinite(lm))
+    np.testing.assert_allclose(lm, ls, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(mesh_run.results.component_mask),
+        np.asarray(single.results.component_mask))

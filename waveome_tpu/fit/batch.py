@@ -93,14 +93,20 @@ def fit_outcomes_penalized(
     # Gaussian no-factor-iteration case: segmented L-BFGS — the whole
     # outcome batch advances ``segment_iters`` iterations per device call
     # (bounded call duration for remote transports, full batch width for
-    # utilization), with optimizer state carried across calls.
+    # utilization), with optimizer state carried across calls. Under a
+    # multi-device mesh the outcome axis is sharded (each device carries
+    # B/n_dev outcomes of every segment).
     segmented = (
         config.likelihood.name == "gaussian"
         and num_factor_iter == 0
         and num_restart == 0
-        and not (use_mesh and len(devices or jax.devices()) > 1)
     )
     if segmented:
+        mesh = (
+            meshlib.outcome_mesh(devices)
+            if use_mesh and len(devices or jax.devices()) > 1
+            else None
+        )
         results = _segmented_gaussian_fit(
             config, params0, X_np, Ys_np,
             penalization_factor=penalization_factor,
@@ -114,6 +120,7 @@ def fit_outcomes_penalized(
             objective=objective,
             cg_iters=cg_iters,
             cg_probes=cg_probes,
+            mesh=mesh,
         )
         return BatchFitResult(config=config, results=results,
                               num_outcomes=B)
@@ -220,6 +227,7 @@ def _segmented_gaussian_fit(
     objective: str = "auto",
     cg_iters: int = 50,
     cg_probes: int = 8,
+    mesh=None,
 ) -> PenalizedFitResult:
     """Whole-batch Gaussian penalized fits via segmented L-BFGS.
 
@@ -268,8 +276,22 @@ def _segmented_gaussian_fit(
     else:
         probes_dev = jnp.zeros((N, 1), dtype=dtype)
     data = (X_dev, p0_dev, probes_dev)
+
+    # mesh mode: pad the outcome axis to a device multiple and shard it;
+    # everything else replicates (the ray.put broadcast analogue)
+    n_dev = len(mesh.devices.reshape(-1)) if mesh is not None else 1
+    B_pad = meshlib.pad_batch(B, n_dev)
+    if B_pad != B:
+        Ys_np = np.concatenate(
+            [Ys_np, np.ones((N, B_pad - B))], axis=1)
+        factors_np = np.concatenate(
+            [factors_np, np.full(B_pad - B, factors_np[0])])
     Ys_dev = jnp.asarray(Ys_np.T[:, :, None], dtype=dtype)
     factors = jnp.asarray(factors_np, dtype=dtype)
+    if mesh is not None:
+        Ys_dev = meshlib.shard_leading_axis(Ys_dev, mesh)
+        factors = meshlib.shard_leading_axis(factors, mesh)
+        data = meshlib.replicate(data, mesh)
 
     def run_segments(fns, p0_batched, budget, res_prev=None):
         """Segmented loop with batch compaction: converged outcomes are
@@ -287,8 +309,8 @@ def _segmented_gaussian_fit(
             res, carry = first_b_fn(Ys_dev, factors, jnp.asarray(bound),
                                     p0_batched, data)
         res_full = res
-        idx_cur = np.arange(B)  # current-batch position -> original column
-        n_valid = B
+        idx_cur = np.arange(B_pad)  # current-batch position -> column
+        n_valid = B_pad
         carry_cur, ys_cur, fac_cur = carry, Ys_dev, factors
         while bound < budget:
             conv = np.asarray(res.converged)[:n_valid]
@@ -296,7 +318,10 @@ def _segmented_gaussian_fit(
             if active.size == 0:
                 break
             width = len(idx_cur)
-            target = max(8, 1 << int(np.ceil(np.log2(active.size))))
+            target = meshlib.pad_batch(
+                max(8, n_dev, 1 << int(np.ceil(np.log2(active.size)))),
+                n_dev,
+            )
             if target <= width // 2:
                 sel = np.concatenate(
                     [active, np.repeat(active[:1], target - active.size)]
@@ -307,6 +332,10 @@ def _segmented_gaussian_fit(
                 fac_cur = fac_cur[take]
                 idx_cur = idx_cur[sel]
                 n_valid = active.size
+                if mesh is not None:
+                    carry_cur = meshlib.shard_leading_axis(carry_cur, mesh)
+                    ys_cur = meshlib.shard_leading_axis(ys_cur, mesh)
+                    fac_cur = meshlib.shard_leading_axis(fac_cur, mesh)
             bound = min(bound + segment_iters, budget)
             res, carry_cur = next_fn(carry_cur, ys_cur, fac_cur,
                                      jnp.asarray(bound), data)
@@ -340,6 +369,10 @@ def _segmented_gaussian_fit(
                          np.dtype(dtype).name),
             None, max_iter,
         )
+    if B_pad != B:
+        res = jax.tree.map(lambda a: a[:B], res)
+        Ys_dev = Ys_dev[:B]
+        factors = factors[:B]
 
     # optimal-q materialization + finalize in bounded outcome chunks
     # (the iterative mode's phase-2 refinement runs the exact objective,
