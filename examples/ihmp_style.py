@@ -85,7 +85,7 @@ def main():
     ap.add_argument("--n-subjects", type=int, default=40)
     ap.add_argument("--n-visits", type=int, default=8)
     ap.add_argument("--num-inducing", type=int, default=100)
-    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--max-iter", type=int, default=2000)
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -102,8 +102,12 @@ def main():
     )
 
     t0 = time.time()
+    # penalization_factor=1.0 is the reference default the iHMP notebook
+    # runs with (ihmp_waveome.ipynb cell 11 — no factor override); the
+    # auto-factor (None) is calibrated for standardized Gaussian outcomes
+    # and over-shrinks raw counts.
     gps.penalized_optimization(
-        penalization_factor=None,
+        penalization_factor=1.0,
         num_factor_iter=0,
         sparse_options={"num_inducing_points": args.num_inducing},
         optimization_options={"num_opt_iter": args.max_iter},
@@ -113,9 +117,15 @@ def main():
           f"({Y.shape[1]} outcomes in {elapsed:.0f}s)")
 
     # recovery check: do the known drivers surface in the importances?
+    from waveome_tpu.utilities import replace_kernel_variables
+
     hits = {"diagnosis": 0, "week": 0, "id": 0, "abx": 0}
     for j, (name, model) in enumerate(gps.models.items()):
-        imp = model.component_importance_dict
+        imp = {
+            (k if k == "residual"
+             else replace_kernel_variables(k, gps.feat_names)): v
+            for k, v in model.component_importance_dict.items()
+        }
         finite = [(v, k) for k, v in imp.items()
                   if k != "residual" and np.isfinite(v)]
         if not finite:  # fully pruned model (null outcome)
@@ -130,6 +140,8 @@ def main():
             hits["id"] += 1
         elif kind == 3 and "abx" in top:
             hits["abx"] += 1
+        if j < 5:
+            print(f"  {name}: top driver = {top}")
     n_per_kind = args.n_outcomes // 5
     print("top-importance recovery per driver "
           f"(of ~{n_per_kind} outcomes each): {hits}")

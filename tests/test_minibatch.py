@@ -1,0 +1,75 @@
+"""Minibatched ELBO training (reference model_classes.py:384-393).
+
+A minibatch Adam+NatGrad run with the N/batch ELBO scale must converge to
+(approximately) the same full-data objective as full-batch training on a
+toy Poisson problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveome_tpu.kernels import full_kernel_build
+from waveome_tpu.models import svgp
+from waveome_tpu.optimize.adam import adam_natgrad_fit
+from waveome_tpu.optimize.minibatch import minibatch_fit
+
+
+def _poisson_problem(n_units=10, n_per=12, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    eta = 0.5 + 0.8 * np.sin(1.5 * t)
+    y = rng.poisson(np.exp(eta)).astype(float)
+    return jnp.asarray(X), jnp.asarray(y)[:, None]
+
+
+def test_minibatch_elbo_matches_fullbatch_optimum():
+    X, Y = _poisson_problem()
+    N = X.shape[0]
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    config = svgp.make_config(spec, "poisson", num_data=N, input_dim=2,
+                              num_inducing_points=24)
+    params0 = svgp.init_params(config, X, key=jax.random.PRNGKey(0))
+    mask = svgp.train_mask(config, params0)
+
+    def full_loss(p):
+        return svgp.training_loss(config, p, X, Y)
+
+    full = adam_natgrad_fit(full_loss, params0, mask=mask,
+                            num_opt_iter=1500)
+
+    bs = 30
+    scale = N / bs
+
+    def batch_loss(p, idx):
+        return svgp.training_loss(config, p, X[idx], Y[idx], scale=scale)
+
+    mini = minibatch_fit(batch_loss, full_loss, params0, N, bs,
+                         jax.random.PRNGKey(1), mask=mask,
+                         num_opt_iter=1500)
+
+    f_full = float(full.loss)
+    f_mini = float(mini.loss)
+    assert np.isfinite(f_mini)
+    # minibatch optimum within a few nats of the full-batch optimum
+    assert f_mini <= f_full + 0.02 * abs(f_full) + 2.0, (f_mini, f_full)
+
+
+def test_minibatch_plumbed_through_penalized_fit():
+    from waveome_tpu.fit import penalized_fit
+
+    X, Y = _poisson_problem(seed=1)
+    N = X.shape[0]
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    config = svgp.make_config(spec, "poisson", num_data=N, input_dim=2,
+                              num_inducing_points=24)
+    params0 = svgp.init_params(config, X, key=jax.random.PRNGKey(0))
+    res = penalized_fit(config, params0, X, Y, penalization_factor=1.0,
+                        num_factor_iter=0, max_iter=800, batch_size=30,
+                        key=jax.random.PRNGKey(2))
+    assert np.isfinite(float(res.loss))
+    assert np.asarray(res.component_mask).sum() >= 1

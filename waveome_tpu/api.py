@@ -329,8 +329,18 @@ class GPSearch:
             penalization_factor=penalization_factor,
             num_factor_iter=num_factor_iter,
             num_restart=num_restart,
-            max_iter=optimization_options.get("num_opt_iter", 500),
+            # non-Gaussian fits run the reference's Adam+NatGrad branch,
+            # whose iteration budget default is 2000 (model_classes.py:
+            # 344-470); the Gaussian collapsed path converges in far
+            # fewer L-BFGS iterations
+            max_iter=optimization_options.get(
+                "num_opt_iter",
+                500 if self.likelihood == "gaussian" else 2000,
+            ),
             seed=random_seed or 0,
+            batch_size=optimization_options.get("batch_size"),
+            objective=optimization_options.get("objective", "auto"),
+            device_chunk=optimization_options.get("device_chunk", 8),
         )
         self._batch = batch
 

@@ -59,6 +59,7 @@ def fit_outcomes_penalized(
     objective: str = "auto",
     cg_iters: int = 50,
     cg_probes: int = 8,
+    batch_size: Optional[int] = None,
 ) -> BatchFitResult:
     """Fit every column of ``Ys`` (N, B) with the penalized pipeline.
 
@@ -134,6 +135,7 @@ def fit_outcomes_penalized(
             max_iter=max_iter,
             key=key,
             stage="fit",
+            batch_size=batch_size,
         )
 
     def finalize_stage(res, y, X):

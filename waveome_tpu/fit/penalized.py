@@ -99,9 +99,19 @@ def penalized_fit(
     compute_importances: bool = True,
     use_collapsed: bool = True,
     stage: str = "all",
+    batch_size: Optional[int] = None,
 ) -> PenalizedFitResult:
-    """Full per-outcome penalized pipeline (jit/vmap-safe)."""
-    mask = svgp.train_mask(config, params0)
+    """Full per-outcome penalized pipeline (jit/vmap-safe).
+
+    ``batch_size``: when set (non-Gaussian path), the ELBO is trained on
+    shuffled minibatches with the data term rescaled by N/batch_size
+    (reference model_classes.py:384-393) via Adam + natural gradients
+    instead of full-batch L-BFGS — the large-N regime.
+    """
+    import numpy as np
+
+    # static numpy mask → subset optimization in the L-BFGS fitters
+    mask = svgp.train_mask_np(config)
     N = X.shape[0]
     num_var = config.spec.num_variance_prior_params()
     dtype = params0["kernel_raw"].dtype
@@ -114,11 +124,11 @@ def penalized_fit(
     collapsed = use_collapsed and config.likelihood.name == "gaussian"
     if collapsed:
         mask = dict(mask)
-        mask["q_mu"] = jnp.zeros_like(mask["q_mu"])
-        mask["q_sqrt_raw"] = jnp.zeros_like(mask["q_sqrt_raw"])
+        mask["q_mu"] = np.zeros_like(mask["q_mu"])
+        mask["q_sqrt_raw"] = np.zeros_like(mask["q_sqrt_raw"])
         if config.num_inducing >= X.shape[0]:
             # Z = X frozen in the exact-MLL path
-            mask["z"] = jnp.zeros_like(mask["z"])
+            mask["z"] = np.zeros_like(mask["z"])
 
     auto_factor = penalization_factor is None
     if auto_factor:
@@ -172,6 +182,23 @@ def penalized_fit(
         return loss
 
     def fit(p, factor):
+        if batch_size is not None and not collapsed:
+            from ..optimize.minibatch import minibatch_fit
+
+            scale = N / batch_size
+
+            def batch_loss(pp, idx):
+                return svgp.training_loss(
+                    config, pp, X[idx], Y[idx],
+                    penalization_factor=factor, scale=scale,
+                ) + variance_barrier(pp)
+
+            res = minibatch_fit(
+                batch_loss, loss_with(factor), p, N, batch_size,
+                key if key is not None else jax.random.PRNGKey(0),
+                mask=mask, num_opt_iter=max_iter,
+            )
+            return res.params, res.loss, res.num_iters
         if num_restart > 0:
             def randomize(pp, k):
                 return svgp.randomize_params(config, pp, k)
@@ -183,8 +210,25 @@ def penalized_fit(
                 tol=tol,
             )
             return best, best_loss, jnp.asarray(0)
-        res = lbfgs_fit(loss_with(factor), p, mask=mask, max_iter=max_iter,
-                        tol=tol)
+        if collapsed:
+            # hyperparameters only: parallel-linesearch L-BFGS (flat
+            # trial grid — compiles far faster than nested zoom
+            # while_loops and doesn't pay worst-case trial counts under
+            # vmap; optimize/plbfgs.py)
+            from ..optimize.plbfgs import plbfgs_fit
+
+            ftol = 1e-6 if f32_mode else 1e-9
+            res = plbfgs_fit(loss_with(factor), p, mask=mask,
+                             max_iter=max_iter, tol=tol, ftol=ftol)
+            return res.params, res.loss, res.num_iters
+        # joint (q, θ) variational path: Adam + natural gradients — the
+        # reference's own optimizer for large parameter sets
+        # (model_classes.py:344-470). Line-search L-BFGS variants stall
+        # on this objective (fixed-grid) or compile nested zoom loops.
+        from ..optimize.adam import adam_natgrad_fit
+
+        res = adam_natgrad_fit(loss_with(factor), p, mask=mask,
+                               num_opt_iter=max_iter)
         return res.params, res.loss, res.num_iters
 
     params, loss, iters = fit(params0, factor0)

@@ -25,6 +25,7 @@ Two evaluation modes:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -35,10 +36,41 @@ from ..bijectors import softplus
 from . import ops
 from .spec import KernelSpec
 
+# Fused Pallas gram dispatch (WAVEOME_PALLAS_GRAM=1 enables): on TPU, f32,
+# large-N static-structure grams route to the VMEM-tiled kernel
+# (pallas_ops/gram_pallas.py — measured 1.5x over the XLA fusion at N=512;
+# forward-only, gradients replay the XLA path via custom_vjp).
+#
+# DEFAULT OFF: values and gradients verify exactly against the XLA path
+# standalone, under vmap, and under nested vmap (tools/pallas_check.py on
+# a v5e chip), but when the custom-VJP gram sits inside a *vmapped
+# lax.while_loop* (the batched L-BFGS driver), the first post-step
+# gradient comes back NaN for every batch member and fits silently stop
+# after one iteration — a Pallas/custom_vjp/while_loop batching
+# interaction we could not root-cause this round. Until it is fixed
+# upstream or worked around, the optimizer hot path stays on the XLA
+# gram; set WAVEOME_PALLAS_GRAM=1 to opt in for inference-style calls.
+_PALLAS_GRAM = os.environ.get("WAVEOME_PALLAS_GRAM", "0") == "1"
+_PALLAS_MIN_N = 256
+
 
 def constrain(raw):
     """Raw (C,F,P) → constrained positive params (gpflow positive())."""
     return softplus(raw)
+
+
+def _pallas_eligible(spec, X1, X2, factor_mask) -> bool:
+    if not _PALLAS_GRAM or factor_mask is not None:
+        return False
+    if X1.dtype != jnp.float32:
+        return False
+    if X1.shape[0] < _PALLAS_MIN_N or X2.shape[0] < _PALLAS_MIN_N:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from ..pallas_ops.gram_pallas import spec_supported
+
+    return spec_supported(spec)
 
 
 # ---------------------------------------------------------------------------
@@ -63,6 +95,23 @@ def gram(
     """
     if X2 is None:
         X2 = X1
+    if _pallas_eligible(spec, X1, X2, factor_mask):
+        from ..pallas_ops.gram_pallas import gram_fused
+
+        return gram_fused(spec, raw, X1, X2, component_mask)
+    return gram_xla(spec, raw, X1, X2, component_mask, factor_mask)
+
+
+def gram_xla(
+    spec: KernelSpec,
+    raw: jnp.ndarray,
+    X1: jnp.ndarray,
+    X2: jnp.ndarray,
+    component_mask: Optional[jnp.ndarray] = None,
+    factor_mask: Optional[jnp.ndarray] = None,
+):
+    """Pure-XLA gram (no Pallas dispatch) — also the backward-pass body of
+    the fused kernel's custom VJP."""
     params = constrain(raw)
     spec_p = spec.padded()
     N1, N2 = X1.shape[0], X2.shape[0]

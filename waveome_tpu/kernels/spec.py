@@ -167,19 +167,19 @@ class KernelSpec:
         """(C, F, P) bool — slots that are real parameters."""
         return jnp.asarray(self._param_exists_np())
 
-    def train_mask(self) -> jnp.ndarray:
-        """(C, F, P) bool — trainable slots (frozen variances masked out).
-
-        Computed in pure numpy (static metadata) — these helpers are called
-        inside jit traces, where jnp constants become tracers in JAX ≥0.9.
-        """
+    def train_mask_np(self) -> np.ndarray:
+        """(C, F, P) bool numpy — trainable slots (frozen variances masked
+        out). Pure static metadata, safe to build inside jit traces."""
         m = self._param_exists_np()
         spec = self.padded()
         for i, comp in enumerate(spec.components):
             for j, p in enumerate(comp):
                 if not p.train_variance:
                     m[i, j, 0] = False
-        return jnp.asarray(m)
+        return m
+
+    def train_mask(self) -> jnp.ndarray:
+        return jnp.asarray(self.train_mask_np())
 
     def _variance_prior_np(self) -> np.ndarray:
         spec = self.padded()

@@ -147,6 +147,25 @@ def train_mask(config: SVGPConfig, params) -> dict:
     }
 
 
+def train_mask_np(config: SVGPConfig) -> dict:
+    """STATIC numpy twin of ``train_mask`` — shapes are static even inside
+    jit traces, and a numpy mask lets the L-BFGS fitters use subset
+    optimization (optimization vector = free entries only) instead of
+    full-vector gradient masking."""
+    M = config.num_inducing
+    return {
+        "kernel_raw": config.spec.train_mask_np(),
+        "mean_c": (np.ones((1,), dtype=bool)
+                   if config.mean_function == "constant"
+                   else np.zeros((1,), dtype=bool)),
+        "lik_raw": np.ones((config.likelihood.n_params,), dtype=bool),
+        "q_mu": np.ones((M, 1), dtype=bool),
+        "q_sqrt_raw": np.tril(np.ones((M, M), dtype=bool)),
+        "z": np.full((M, config.input_dim), config.train_inducing,
+                     dtype=bool),
+    }
+
+
 def num_trainable_params(config: SVGPConfig, params) -> int:
     m = train_mask(config, params)
     return int(sum(np.asarray(v).sum() for v in jax.tree.leaves(m)))

@@ -103,6 +103,7 @@ def plbfgs_fit(
     armijo_c1: float = 1e-4,
     ftol: float = 1e-6,
     patience: int = 8,
+    min_iter: int = 0,
 ):
     """Minimize ``loss_fn(params)`` over the masked free subset.
 
@@ -218,7 +219,11 @@ def plbfgs_fit(
     def cond(carry_):
         state, it = carry_
         gnorm = jnp.linalg.norm(state.g)
-        return (it < max_iter) & (gnorm >= tol) & (state.stall < patience)
+        # the stall stop is suppressed before min_iter: early line-search
+        # stepsize adaptation can plateau transiently (joint variational
+        # optimization), which must not count as convergence
+        stalled = (state.stall >= patience) & (it >= min_iter)
+        return (it < max_iter) & (gnorm >= tol) & ~stalled
 
     def body(carry_):
         state, it = carry_

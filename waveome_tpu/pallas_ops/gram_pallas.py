@@ -168,3 +168,62 @@ def gram_pallas(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return _gram_pallas_impl(spec, raw, X1, X2, component_mask, interpret)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward + exact XLA-replay backward
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_OPS = frozenset({
+    "empty", "constant", "categorical", "linear", "polynomial",
+    "squared_exponential", "matern12", "matern32", "matern52", "periodic",
+    "rational_quadratic",
+})
+
+
+def spec_supported(spec: KernelSpec) -> bool:
+    return all(p.op in _SUPPORTED_OPS
+               for comp in spec.components for p in comp)
+
+
+@functools.lru_cache(maxsize=128)
+def _fused_fn(spec: KernelSpec, use_mask: bool):
+    """custom_vjp gram: the Pallas kernel evaluates the forward tilewise in
+    VMEM (the hot line-search path evaluates MANY more forwards than
+    gradients), while the backward replays the pure-XLA gram's VJP —
+    mathematically exact, no hand-written derivative kernels to drift."""
+    from ..kernels.gram import gram_xla as _xla_gram
+
+    def _primal(raw, X1, X2, component_mask):
+        return gram_pallas(spec, raw, X1, X2,
+                           component_mask if use_mask else None)
+
+    @jax.custom_vjp
+    def fused(raw, X1, X2, component_mask):
+        return _primal(raw, X1, X2, component_mask)
+
+    def fwd(raw, X1, X2, component_mask):
+        out = _primal(raw, X1, X2, component_mask)
+        return out, (raw, X1, X2, component_mask)
+
+    def bwd(res, cot):
+        raw, X1, X2, component_mask = res
+        _, vjp = jax.vjp(
+            lambda r: _xla_gram(spec, r, X1, X2,
+                                component_mask if use_mask else None),
+            raw,
+        )
+        (draw,) = vjp(cot)
+        return (draw, jnp.zeros_like(X1), jnp.zeros_like(X2),
+                jnp.zeros_like(component_mask) if use_mask else None)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def gram_fused(spec: KernelSpec, raw, X1, X2=None, component_mask=None):
+    """Differentiable fused gram (see _fused_fn)."""
+    if X2 is None:
+        X2 = X1
+    fn = _fused_fn(spec, component_mask is not None)
+    return fn(raw, X1, X2, component_mask)

@@ -129,8 +129,14 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             def loss(p):
                 return svgp.training_loss(config, p, X, Y, coded=coded_i)
 
-            res = plbfgs_fit(loss, p0, mask=mask, max_iter=max_iter,
-                             tol=1e-8, ftol=ftol, patience=10)
+            # explicit-q (non-Gaussian) candidates: Adam + natural
+            # gradients, the reference's optimizer for joint variational
+            # fits (model_classes.py:344-470) — line-search L-BFGS
+            # variants stall on this objective under a fixed trial grid
+            from ..optimize.adam import adam_natgrad_fit
+
+            res = adam_natgrad_fit(loss, p0, mask=mask,
+                                   num_opt_iter=max(1000, 2 * max_iter))
         loglik = -res.loss  # log posterior (no priors → ELBO)
         if split:
             hold = jnp.sum(
