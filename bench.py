@@ -20,6 +20,8 @@ import time
 import numpy as np
 
 BASELINE_MODELS_PER_MIN = 3 / 9.6  # waveome_overview.ipynb cell-9 output
+# iHMP notebook cell 11: ~32 min for 2 NB outcomes on an HPC node
+BASELINE_NB_PER_MIN = 2 / 32.0
 
 
 def simulate(n_units=50, n_per=10, n_outcomes=256, seed=0):
@@ -61,6 +63,11 @@ def main():
     from waveome_tpu.kernels import full_kernel_build
 
     waveome_tpu.set_precision("float32")
+
+    # BENCH_WORKLOAD=nb benchmarks the negative-binomial (iHMP-shaped)
+    # pipeline instead of the Gaussian tutorial workload
+    if os.environ.get("BENCH_WORKLOAD", "gaussian") == "nb":
+        return main_nb()
 
     n_outcomes = int(os.environ.get("BENCH_OUTCOMES", "256"))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", "200"))
@@ -110,6 +117,57 @@ def main():
         f"finite_frac={finite.mean():.3f} devices={len(jax.devices())}",
         file=sys.stderr,
     )
+
+
+def main_nb():
+    """NB workload: the iHMP application shape (count outcomes, 9
+    covariates, M=100 inducing, Adam+NatGrad to convergence)."""
+    import jax
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "examples"))
+    from ihmp_style import simulate_ihmp
+
+    from waveome_tpu.fit import fit_outcomes_penalized
+    from waveome_tpu.kernels import full_kernel_build
+
+    n_outcomes = int(os.environ.get("BENCH_OUTCOMES", "128"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "2000"))
+    Xdf, Ydf = simulate_ihmp(n_outcomes=n_outcomes)
+    from waveome_tpu import GPSearch
+
+    gps = GPSearch(X=Xdf, Y=Ydf, unit_col="id",
+                   categorical_vars=["diagnosis", "race", "site"],
+                   outcome_likelihood="negativebinomial")
+    spec, _ = full_kernel_build(
+        cat_vars=gps.cat_idx, num_vars=gps.cont_idx,
+        unit_idx=gps.unit_idx, var_names=gps.feat_names, return_sum=True,
+    )
+    kwargs = dict(
+        spec=spec, likelihood="negative_binomial",
+        num_inducing_points=100, penalization_factor=1.0,
+        num_factor_iter=0, max_iter=max_iter, use_mesh=False,
+        compute_importances=False,
+    )
+    X_np, Ys_np = gps.X.to_numpy(), gps.Y.to_numpy()
+    res = fit_outcomes_penalized(X_np, Ys_np, **kwargs)  # compile+run
+    jax.block_until_ready(res.results.loss)
+    t0 = time.time()
+    res = fit_outcomes_penalized(X_np, Ys_np, seed=1, **kwargs)
+    jax.block_until_ready(res.results.loss)
+    elapsed = time.time() - t0
+    finite = np.isfinite(np.asarray(res.results.loss))
+    assert finite.mean() > 0.95, f"too many failed fits: {finite.mean()}"
+    fits_per_min = n_outcomes / (elapsed / 60.0)
+    print(json.dumps({
+        "metric": "penalized_nb_fits_per_min",
+        "value": round(fits_per_min, 2),
+        "unit": "models/min",
+        "vs_baseline": round(fits_per_min / BASELINE_NB_PER_MIN, 1),
+    }))
+    print(f"# nb n_outcomes={n_outcomes} N={X_np.shape[0]} "
+          f"max_iter={max_iter} elapsed={elapsed:.1f}s "
+          f"finite_frac={finite.mean():.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

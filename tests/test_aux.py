@@ -93,3 +93,36 @@ def test_ground_truth_simulation_and_metrics():
     assert score["exact"] == 1.0
     score = datasets.feature_recovery_score([0, 2], "matern12[2]")
     assert score["recall"] == 0.5 and score["precision"] == 1.0
+
+
+def test_sweep_checkpoint_async_sink(tmp_path):
+    """Async-sink mode: payloads stream through AsyncResultSink, the
+    manifest is extended at commit(), and a crash between sink flush and
+    manifest commit is recovered from the sink's manifest.log."""
+    d = str(tmp_path / "async_sweep")
+    ck = SweepCheckpoint(d, use_async_sink=True)
+    res = {"params": {"kernel_raw": np.ones((2, 1, 4))},
+           "component_mask": np.array([1.0, 0.0])}
+    ck.save_outcome("m1", res)
+    ck.save_outcome("m/2", res)
+    # in-flight results already count as done within this process
+    assert ck.remaining(["m1", "m/2", "m3"]) == ["m3"]
+    ck.commit()
+    assert set(ck.fitted()) == {"m1", "m/2"}
+
+    # fresh instance reads the committed manifest and the sink payloads
+    ck2 = SweepCheckpoint(d)
+    assert set(ck2.fitted()) == {"m1", "m/2"}
+    loaded = ck2.load_outcome("m/2")
+    np.testing.assert_allclose(loaded["params"]["kernel_raw"],
+                               np.ones((2, 1, 4)))
+
+    # simulate a crash between flush and commit: write via a sink, skip
+    # commit, and reopen — recovery must pick the outcome up from
+    # manifest.log
+    ck3 = SweepCheckpoint(d, use_async_sink=True)
+    ck3.save_outcome("m4", res)
+    ck3._sink.flush()  # payload durable, manifest.json not updated
+    ck4 = SweepCheckpoint(d)
+    assert "m4" in ck4.fitted()
+    assert ck4.remaining(["m4"]) == []

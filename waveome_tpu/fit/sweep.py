@@ -56,7 +56,10 @@ def run_penalized_sweep(
     if partition_across_hosts and jax.process_count() > 1:
         todo = process_partition(todo)
 
-    ck = SweepCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    # async sink: payload writes happen on the native background thread;
+    # the manifest commit at each chunk boundary is the durability point
+    ck = (SweepCheckpoint(checkpoint_dir, use_async_sink=True)
+          if checkpoint_dir else None)
     if ck is not None:
         todo = ck.remaining(todo)
 
@@ -84,6 +87,10 @@ def run_penalized_sweep(
                     "params": jax.tree.map(np.asarray, r.params),
                 })
             counter.add(1)
+        if ck is not None:
+            # durable point: async sink flushed, manifest extended — a
+            # crash mid-chunk re-fits at most one chunk on resume
+            ck.commit()
         done += len(chunk)
         if verbose:
             pct = int(round(100 * done / max(len(todo), 1)))

@@ -152,6 +152,11 @@ class AsyncResultSink:
             with open(os.path.join(self.directory, f"{safe}.bin"),
                       "wb") as f:
                 f.write(payload)
+            # append-only name->file log, matching the native writer
+            # (waveome_host.cc WriteOne) — checkpoint recovery reads it
+            with open(os.path.join(self.directory, "manifest.log"),
+                      "a") as mf:
+                mf.write(f"{name}\t{safe}.bin\t{len(payload)}\n")
 
     def flush(self) -> None:
         if self._sink is not None:
