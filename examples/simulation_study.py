@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iter", type=int, default=300)
     ap.add_argument("--skip-search", action="store_true")
+    ap.add_argument("--baselines", action="store_true",
+                    help="also fit the reference harness's baseline "
+                         "model families (mixed LM, LASSO, GAM, GP-ARD)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -113,10 +116,181 @@ def main():
                 "var_exp": sres["var_exp"],
             }
 
+        # (c) baseline model families (reference head-to-head:
+        # sim_waveome_hpc_run.py fits mixed LM :221-245, LASSO :1034-1075,
+        # GAM :906-951, GP-ARD :1160-1190 — numpy/JAX ports here; the
+        # NB-GLM / NB-GP-ARD rows apply to the count-outcome study)
+        if args.baselines:
+            for bname, fit_fn in (
+                ("mixed_lm", fit_mixed_lm),
+                ("lasso", fit_lasso_path),
+                ("gam", fit_gam),
+                ("gp_ard", fit_gp_ard),
+            ):
+                mu_b, var_b = fit_fn(X, Y, hold)
+                entry[bname] = {
+                    "holdout_mse": datasets.holdout_mse(mu_t, mu_b),
+                    "kl_to_truth": datasets.gaussian_kl(
+                        mu_t, var_t, mu_b, var_b),
+                }
+
         report[yname] = entry
         print(f"{yname}: {json.dumps(entry, default=str)}")
 
     print(json.dumps(report, indent=2, default=str))
+
+
+# ---------------------------------------------------------------------------
+# baseline model families (ports of the reference evaluation harness,
+# examples/simulations/sim_waveome_hpc_run.py)
+# ---------------------------------------------------------------------------
+
+
+def _design_matrices(X, Xnew):
+    """Common fixed-effect design: unit one-hots + treat + time."""
+    units = np.unique(X[:, 0]).astype(int)
+    def dm(A):
+        oh = (A[:, 0].astype(int)[:, None] == units[None, :]).astype(float)
+        return np.column_stack([oh, A[:, 1], A[:, 2], A[:, 1] * A[:, 2]])
+    return dm(X), dm(Xnew)
+
+
+def fit_mixed_lm(X, Y, Xnew):
+    """Random-intercept linear model ≈ ridge on unit one-hots + fixed
+    effects (sim_waveome_hpc_run.py:221-245 fits lmer(y ~ t*treat +
+    (1|unit)); the ridge on one-hots is the classical BLUP equivalence)."""
+    A, An = _design_matrices(X, Xnew)
+    y = np.asarray(Y)[:, 0]
+    lam = 1.0
+    G = A.T @ A + lam * np.eye(A.shape[1])
+    beta = np.linalg.solve(G, A.T @ y)
+    resid = y - A @ beta
+    s2 = float(resid @ resid) / max(len(y) - A.shape[1], 1)
+    mu = An @ beta
+    var = s2 * (1.0 + np.sum((An @ np.linalg.inv(G)) * An, axis=1))
+    return mu, var
+
+
+def fit_lasso_path(X, Y, Xnew, n_lam=20, n_iter=500):
+    """L1 linear model via ISTA with a small λ grid selected by holdout
+    split (sim_waveome_hpc_run.py:1034-1075 uses sklearn LassoCV)."""
+    A, An = _design_matrices(X, Xnew)
+    y = np.asarray(Y)[:, 0]
+    mu_a, sd_a = A.mean(0), A.std(0) + 1e-12
+    As = (A - mu_a) / sd_a
+    ym = y.mean()
+    yc = y - ym
+    n = len(y)
+    ntr = int(0.8 * n)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    tr, va = perm[:ntr], perm[ntr:]
+    L = np.linalg.norm(As[tr], 2) ** 2 / ntr
+    lam_max = np.max(np.abs(As[tr].T @ yc[tr])) / ntr
+    lams = np.geomspace(lam_max, lam_max * 1e-3, n_lam)
+
+    def ista(lam):
+        b = np.zeros(As.shape[1])
+        for _ in range(n_iter):
+            g = As[tr].T @ (As[tr] @ b - yc[tr]) / ntr
+            b = b - g / L
+            b = np.sign(b) * np.maximum(np.abs(b) - lam / L, 0.0)
+        return b
+
+    best, best_err = None, np.inf
+    for lam in lams:
+        b = ista(lam)
+        err = np.mean((yc[va] - As[va] @ b) ** 2)
+        if err < best_err:
+            best, best_err = b, err
+    resid = yc - As @ best
+    s2 = float(resid @ resid) / max(n - int(np.sum(best != 0)) - 1, 1)
+    mu = ym + ((An - mu_a) / sd_a) @ best
+    return mu, np.full(len(An), s2)
+
+
+def _bspline_basis(t, n_knots=8, degree=3):
+    """Cox-de Boor B-spline basis, iterative and array-safe."""
+    t = np.asarray(t, float)
+    interior = np.quantile(t, np.linspace(0, 1, n_knots))
+    knots = np.concatenate([[interior[0]] * degree, interior,
+                            [interior[-1]] * degree])
+    # degree-0 indicators (right endpoint folded into last interval)
+    B = np.zeros((len(t), len(knots) - 1))
+    for k in range(len(knots) - 1):
+        if knots[k] < knots[k + 1]:
+            B[:, k] = ((knots[k] <= t) & (t < knots[k + 1])).astype(float)
+    last = int(np.max(np.nonzero(np.diff(knots) > 0)))
+    B[t >= knots[-1] - 1e-12, last] = 1.0
+    for d in range(1, degree + 1):
+        Bn = np.zeros((len(t), len(knots) - d - 1))
+        for k in range(len(knots) - d - 1):
+            term = np.zeros(len(t))
+            den1 = knots[k + d] - knots[k]
+            if den1 > 0:
+                term += (t - knots[k]) / den1 * B[:, k]
+            den2 = knots[k + d + 1] - knots[k + 1]
+            if den2 > 0:
+                term += (knots[k + d + 1] - t) / den2 * B[:, k + 1]
+            Bn[:, k] = term
+        B = Bn
+    return B
+
+
+def fit_gam(X, Y, Xnew):
+    """GAM: cubic B-spline smooth of time + unit intercepts + treat
+    (sim_waveome_hpc_run.py:906-951 uses mgcv-style smooths)."""
+    y = np.asarray(Y)[:, 0]
+    units = np.unique(X[:, 0]).astype(int)
+
+    def dm(A):
+        oh = (A[:, 0].astype(int)[:, None] == units[None, :]).astype(float)
+        return np.column_stack([oh, A[:, 1],
+                                _bspline_basis(A[:, 2]),
+                                A[:, 1:2] * _bspline_basis(A[:, 2])])
+    A, An = dm(X), dm(Xnew)
+    lam = 1.0
+    G = A.T @ A + lam * np.eye(A.shape[1])
+    beta = np.linalg.solve(G, A.T @ y)
+    resid = y - A @ beta
+    s2 = float(resid @ resid) / max(len(y) - A.shape[1], 1)
+    mu = An @ beta
+    var = s2 * (1.0 + np.sum((An @ np.linalg.inv(G)) * An, axis=1))
+    return mu, var
+
+
+def fit_gp_ard(X, Y, Xnew, max_iter=150):
+    """Exact GP with a single ARD squared-exponential over ALL inputs
+    (incl. the integer-coded unit — the naive treatment the reference's
+    GP-ARD baseline applies, sim_waveome_hpc_run.py:1160-1190), fitted
+    with the framework's own machinery."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveome_tpu.kernels.spec import KernelSpec, Primitive
+    from waveome_tpu.models import svgp
+    from waveome_tpu.optimize.plbfgs import plbfgs_fit
+
+    D = X.shape[1]
+    spec = KernelSpec((tuple(
+        Primitive("squared_exponential", d) for d in range(D)),))
+    config = svgp.make_config(spec, "gaussian", num_data=X.shape[0],
+                              input_dim=D, num_inducing_points=X.shape[0])
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    p0 = svgp.init_params(config, Xd)
+    mask = svgp.train_mask_np(config)
+    for k in ("q_mu", "q_sqrt_raw", "z"):
+        mask[k] = np.zeros_like(mask[k])
+
+    def loss(p):
+        return -svgp.exact_mll(config, p, Xd, Yd)
+
+    res = plbfgs_fit(loss, p0, mask=mask, max_iter=max_iter)
+    params = dict(res.params)
+    q_mu, q_sqrt = svgp.optimal_q(config, params, Xd, Yd)
+    params.update(q_mu=q_mu, q_sqrt_raw=q_sqrt)
+    mu, var = svgp.predict_y(config, params, jnp.asarray(Xnew))
+    return np.asarray(mu)[:, 0], np.asarray(var)[:, 0]
 
 
 def _to_idx(kernel_name: str) -> str:

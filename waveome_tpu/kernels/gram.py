@@ -42,14 +42,18 @@ from .spec import KernelSpec
 # forward-only, gradients replay the XLA path via custom_vjp).
 #
 # DEFAULT OFF: values and gradients verify exactly against the XLA path
-# standalone, under vmap, and under nested vmap (tools/pallas_check.py on
-# a v5e chip), but when the custom-VJP gram sits inside a *vmapped
-# lax.while_loop* (the batched L-BFGS driver), the first post-step
-# gradient comes back NaN for every batch member and fits silently stop
-# after one iteration — a Pallas/custom_vjp/while_loop batching
-# interaction we could not root-cause this round. Until it is fixed
-# upstream or worked around, the optimizer hot path stays on the XLA
-# gram; set WAVEOME_PALLAS_GRAM=1 to opt in for inference-style calls.
+# standalone, under vmap, nested vmap, AND inside a hand-rolled
+# vmap(while_loop(trials + lax.cond(grad))) harness with the same
+# Cholesky-based loss (tools/pallas_check.py + bisection scripts, v5e
+# chip). But inside the REAL optimize/plbfgs.py loop under vmap, the
+# first post-step gradient comes back NaN for every batch member and
+# fits silently stop after one iteration — independent of the horseshoe
+# prior and of whether the loop bound is traced, so the remaining
+# suspects are plbfgs's static-subset gather/scatter
+# (flat0.at[free_idx].set) or the L-BFGS two-loop fori_loops composing
+# with the Pallas custom_vjp under batching. Until that is root-caused,
+# the optimizer hot path stays on the XLA gram; set
+# WAVEOME_PALLAS_GRAM=1 to opt in for inference-style calls.
 _PALLAS_GRAM = os.environ.get("WAVEOME_PALLAS_GRAM", "0") == "1"
 _PALLAS_MIN_N = 256
 
