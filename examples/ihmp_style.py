@@ -25,12 +25,13 @@ import pandas as pd
 
 
 def simulate_ihmp(n_subjects=40, n_visits=8, n_outcomes=128, seed=0,
-                  alpha=0.5):
+                  alpha=0.5, return_truth=False):
     """Simulated IBD-metabolome: NB counts with known drivers.
 
     Outcome blocks cycle through ground truths: diagnosis shift, weekly
     trend, subject-level intercept, antibiotics effect, and null — the
-    structures the iHMP analysis screens for.
+    structures the iHMP analysis screens for. ``return_truth`` also
+    returns the latent log-mean matrix for baseline scoring.
     """
     rng = np.random.default_rng(seed)
     n = n_subjects * n_visits
@@ -75,7 +76,89 @@ def simulate_ihmp(n_subjects=40, n_visits=8, n_outcomes=128, seed=0,
         mean = np.exp(eta)
         lam = rng.gamma(shape=1.0 / alpha, scale=mean * alpha)
         Y[f"metab_{j:03d}"] = rng.poisson(lam).astype(float)
-    return X, pd.DataFrame(Y)
+        Y.setdefault("_eta", []).append(eta)
+    etas = np.stack(Y.pop("_eta"), axis=1)
+    Ydf = pd.DataFrame(Y)
+    if return_truth:
+        return X, Ydf, etas
+    return X, Ydf
+
+
+# ---------------------------------------------------------------------------
+# count-outcome baseline families (the NB rows of the reference's
+# head-to-head, sim_waveome_hpc_run.py: NB-GLM :771-840, NB-GP-ARD
+# :1282-1310)
+# ---------------------------------------------------------------------------
+
+
+def _glm_design(Xn, cat_idx):
+    cols = [np.ones(len(Xn))]
+    for d in range(Xn.shape[1]):
+        if d in cat_idx:
+            for lvl in np.unique(Xn[:, d])[1:]:
+                cols.append((Xn[:, d] == lvl).astype(float))
+        else:
+            x = Xn[:, d]
+            sd = x.std() + 1e-12
+            cols.append((x - x.mean()) / sd)
+    return np.column_stack(cols)
+
+
+def fit_nb_glm(Xn, y, cat_idx, n_iter=50, ridge=1e-4):
+    """NB regression via Poisson IRLS with moment-estimated dispersion
+    (the quasi-likelihood route of glm.nb; log link). Returns the fitted
+    log-mean."""
+    A = _glm_design(Xn, cat_idx)
+    beta = np.zeros(A.shape[1])
+    beta[0] = np.log(y.mean() + 1e-6)
+    for _ in range(n_iter):
+        eta = np.clip(A @ beta, -20, 20)
+        mu = np.exp(eta)
+        z = eta + (y - mu) / np.maximum(mu, 1e-8)
+        Wd = mu  # poisson working weights
+        G = A.T @ (Wd[:, None] * A) + ridge * np.eye(A.shape[1])
+        beta_new = np.linalg.solve(G, A.T @ (Wd * z))
+        if np.max(np.abs(beta_new - beta)) < 1e-8:
+            beta = beta_new
+            break
+        beta = beta_new
+    return np.clip(A @ beta, -20, 20)
+
+
+def fit_nb_gp_ard(Xn, Ys, max_iter=1500):
+    """NB GP with one ARD squared-exponential over ALL covariates (incl.
+    integer-coded categories — the reference NB-GP-ARD's naive
+    treatment), fitted with the framework's Adam+NatGrad path, vmapped
+    over outcomes. ``Ys``: (N, K). Returns (N, K) posterior latent
+    means."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveome_tpu.kernels.spec import KernelSpec, Primitive
+    from waveome_tpu.models import svgp
+    from waveome_tpu.optimize.adam import adam_natgrad_fit
+
+    D = Xn.shape[1]
+    spec = KernelSpec((tuple(
+        Primitive("squared_exponential", d) for d in range(D)),))
+    config = svgp.make_config(spec, "negativebinomial",
+                              num_data=Xn.shape[0], input_dim=D,
+                              num_inducing_points=64)
+    Xd = jnp.asarray(Xn)
+    p0 = svgp.init_params(config, Xd, key=jax.random.PRNGKey(0))
+    mask = svgp.train_mask(config, p0)
+
+    def one(y):
+        def loss(p):
+            return svgp.training_loss(config, p, Xd, y[:, None])
+
+        res = adam_natgrad_fit(loss, p0, mask=mask,
+                               num_opt_iter=max_iter)
+        fmu, _ = svgp.predict_f(config, res.params, Xd)
+        return fmu[:, 0]
+
+    fmus = jax.jit(jax.vmap(one))(jnp.asarray(Ys.T))
+    return np.asarray(fmus).T
 
 
 def main():
@@ -86,12 +169,17 @@ def main():
     ap.add_argument("--n-visits", type=int, default=8)
     ap.add_argument("--num-inducing", type=int, default=100)
     ap.add_argument("--max-iter", type=int, default=2000)
+    ap.add_argument("--baselines", action="store_true",
+                    help="also fit NB-GLM and NB-GP-ARD on a subset and "
+                         "compare latent-mean error vs the simulation "
+                         "truth (reference head-to-head NB rows)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
     from waveome_tpu import GPSearch
 
-    X, Y = simulate_ihmp(args.n_subjects, args.n_visits, args.n_outcomes)
+    X, Y, etas = simulate_ihmp(args.n_subjects, args.n_visits,
+                               args.n_outcomes, return_truth=True)
     print(f"simulated {Y.shape[1]} NB outcomes, N={len(X)} observations, "
           f"{X.shape[1]} covariates")
 
@@ -145,6 +233,36 @@ def main():
     n_per_kind = args.n_outcomes // 5
     print("top-importance recovery per driver "
           f"(of ~{n_per_kind} outcomes each): {hits}")
+
+    if args.baselines:
+        # latent-log-mean recovery vs the simulation truth on a subset
+        # (the NB rows of the reference head-to-head)
+        import jax.numpy as jnp
+
+        from waveome_tpu.models import svgp as _svgp
+
+        K = min(20, args.n_outcomes)
+        Xn = gps.X.to_numpy()
+        yb = gps.Y.to_numpy()
+        ard_mus = fit_nb_gp_ard(Xn, yb[:, :K], max_iter=args.max_iter)
+        errs = {"waveome": [], "nb_glm": [], "nb_gp_ard": []}
+        for j, name in enumerate(list(gps.models.keys())[:K]):
+            truth = etas[:, j] - etas[:, j].mean()
+            m = gps.models[name]
+            fmu, _ = _svgp.predict_f(m.config, m.params, jnp.asarray(Xn),
+                                     **m._mask_kwargs())
+            for label, est in (
+                ("waveome", np.asarray(fmu)[:, 0]
+                 + float(m.params["mean_c"][0])),
+                ("nb_glm", fit_nb_glm(Xn, yb[:, j], gps.cat_idx)),
+                ("nb_gp_ard", ard_mus[:, j]),
+            ):
+                errs[label].append(
+                    float(np.mean((est - est.mean() - truth) ** 2)))
+        print("latent log-mean MSE vs truth (median over "
+              f"{K} outcomes): "
+              + ", ".join(f"{k}={np.median(v):.3f}"
+                          for k, v in errs.items()))
 
     g = gps.plot_heatmap(var_cutoff=0.0)
     fig = getattr(g, "figure", None) or g[0]

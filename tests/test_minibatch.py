@@ -73,3 +73,42 @@ def test_minibatch_plumbed_through_penalized_fit():
                         key=jax.random.PRNGKey(2))
     assert np.isfinite(float(res.loss))
     assert np.asarray(res.component_mask).sum() >= 1
+
+
+def test_nb_penalized_fit_quality_regression():
+    """Regression guard for the non-Gaussian optimizer choice: the
+    joint-(q, theta) NB fit must actually converge (a stalled line-search
+    variant once silently returned near-init losses ~3x too high)."""
+    from waveome_tpu.fit import penalized_fit
+    from waveome_tpu.interpret.metrics import calc_deviance_explained
+
+    rng = np.random.default_rng(3)
+    n_units, n_per = 12, 10
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = jnp.asarray(np.column_stack([ids, t]))
+    eta = 0.8 + 1.0 * np.sin(1.5 * t)
+    alpha = 0.3  # NB dispersion via gamma-poisson mixture
+    lam = rng.gamma(shape=1.0 / alpha, scale=np.exp(eta) * alpha)
+    y = rng.poisson(lam).astype(float)
+    Y = jnp.asarray(y)[:, None]
+    N = X.shape[0]
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    config = svgp.make_config(spec, "negativebinomial", num_data=N,
+                              input_dim=2, num_inducing_points=32)
+    p0 = svgp.init_params(config, X, key=jax.random.PRNGKey(0))
+    res = penalized_fit(config, p0, X, Y, penalization_factor=1.0,
+                        num_factor_iter=0, max_iter=1500,
+                        compute_importances=False)
+    assert np.isfinite(float(res.loss))
+    # the fitted model must explain most of the structured signal
+    mu, _ = svgp.predict_y(config, res.params, X,
+                           component_mask=jnp.asarray(res.component_mask),
+                           factor_mask=jnp.asarray(res.factor_mask))
+    de = calc_deviance_explained(
+        config.likelihood,
+        config.likelihood.constrain(res.params["lik_raw"]),
+        y, np.asarray(mu)[:, 0],
+    )
+    assert float(de) > 0.3, float(de)

@@ -52,7 +52,10 @@ def _bucket(n: int, buckets) -> int:
 # (dup of slot 0, masked out of results) and kernel shape (EMPTY ops) so an
 # entire search reuses a handful of compiled programs across depths, and
 # repeat searches hit the persistent cache.
-_WIDTH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+# coarse width buckets: each bucket is one XLA program per (C, F) shape,
+# and cold compiles (~20-80s each) dominate search wall time on CPU —
+# fewer buckets beats tighter padding
+_WIDTH_BUCKETS = (4, 16, 64, 256)
 _C_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24)
 _F_BUCKETS = (2, 3, 4, 6, 8)
 
