@@ -125,3 +125,34 @@ def test_early_truncation_still_finite(n_iter):
     assert np.isfinite(val)
     g = jax.grad(lambda K_: mll_iterative(K_, y, probes, n_iter))(K)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_batch_driver_iterative_objective_matches_cholesky():
+    """The two-phase (CG/SLQ surrogate -> exact refinement) driver path —
+    what objective='auto' selects above N=2000 — must land on the same
+    optima as the pure-Cholesky path."""
+    from waveome_tpu.fit import fit_outcomes_penalized
+
+    rng = np.random.default_rng(0)
+    n_units, n_per = 6, 10
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    n = X.shape[0]
+    Ys = np.column_stack([
+        np.sin(1.3 * t + i) + 0.15 * rng.normal(size=n) for i in range(4)
+    ])
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    kw = dict(spec=spec, likelihood="gaussian", num_inducing_points=n,
+              num_factor_iter=0, max_iter=120, use_mesh=False,
+              device_chunk=4)
+    res_it = fit_outcomes_penalized(X, Ys, objective="iterative", **kw)
+    res_ch = fit_outcomes_penalized(X, Ys, objective="cholesky", **kw)
+    li = np.asarray(res_it.results.loss)
+    lc = np.asarray(res_ch.results.loss)
+    assert np.all(np.isfinite(li))
+    np.testing.assert_allclose(li, lc, rtol=1e-3, atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(res_it.results.component_mask),
+        np.asarray(res_ch.results.component_mask))
