@@ -91,16 +91,18 @@ def fit_outcomes_penalized(
     # fused graphs that stress experimental TPU backends.
     from .penalized import penalized_finalize
 
-    # Gaussian no-factor-iteration case: segmented L-BFGS — the whole
+    # No-factor-iteration case: segmented optimization — the whole
     # outcome batch advances ``segment_iters`` iterations per device call
     # (bounded call duration for remote transports, full batch width for
-    # utilization), with optimizer state carried across calls. Under a
-    # multi-device mesh the outcome axis is sharded (each device carries
-    # B/n_dev outcomes of every segment).
+    # utilization), with optimizer state carried across calls and batch
+    # compaction between segments. Gaussian outcomes run collapsed-bound
+    # L-BFGS; non-Gaussian run the joint-(q, θ) Adam+NatGrad loop. Under
+    # a multi-device mesh the outcome axis is sharded (each device
+    # carries B/n_dev outcomes of every segment).
     segmented = (
-        config.likelihood.name == "gaussian"
-        and num_factor_iter == 0
+        num_factor_iter == 0
         and num_restart == 0
+        and batch_size is None
     )
     if segmented:
         mesh = (
@@ -245,7 +247,8 @@ def _segmented_gaussian_fit(
     """
     N, B = Ys_np.shape
     num_var = config.spec.num_variance_prior_params()
-    exact_gaussian = config.num_inducing >= N
+    gaussian = config.likelihood.name == "gaussian"
+    exact_gaussian = gaussian and config.num_inducing >= N
     f32_mode = dtype == jnp.float32
     # "auto": at the tutorial/bench scale (N≲1000) the batched Cholesky
     # with ftol early-stopping wins (843 fits/min measured vs 160 for the
@@ -348,7 +351,13 @@ def _segmented_gaussian_fit(
             )
         return res_full
 
-    if iterative:
+    if not gaussian:
+        # joint-(q, θ) Adam+NatGrad segments (the reference's optimizer
+        # for large parameter sets, model_classes.py:344-470)
+        res = run_segments(
+            _seg_adam_fns(config, np.dtype(dtype).name), None, max_iter,
+        )
+    elif iterative:
         # Two-phase: most iterations ride the cheap matmul-only surrogate,
         # then the exact Cholesky objective refines from those params —
         # restoring exact line-search rejections (the surrogate can drift
@@ -391,7 +400,10 @@ def _segmented_gaussian_fit(
         sl = slice(lo, min(lo + FIN_CHUNK, B))
         p_i = jax.tree.map(lambda a: a[sl], res.params)
         y_i = Ys_dev[sl]
-        p_i = q_fn(p_i, y_i, X_dev)
+        if gaussian:
+            # closed-form optimal q (the optimizer only carried the
+            # hyperparameters); non-Gaussian fits optimize q explicitly
+            p_i = q_fn(p_i, y_i, X_dev)
         cm_i, fm_i, imp_i = fin_fn(p_i, y_i, X_dev)
         p_parts.append(p_i)
         cm_parts.append(cm_i)
@@ -486,6 +498,59 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
     first_b_fn = jax.jit(jax.vmap(first_seg_b,
                                   in_axes=(0, 0, None, 0, None)))
     # (carry is vmapped axis 0; bound and data broadcast)
+    return first_fn, next_fn, first_b_fn
+
+
+@lru_cache(maxsize=64)
+def _seg_adam_fns(config, dtype_name: str):
+    """Jitted Adam+NatGrad segment steppers for the non-Gaussian
+    (explicit-q) penalized path — same segment/carry/compaction protocol
+    as the L-BFGS steppers in ``_seg_fit_fns``."""
+    from ..optimize.adam import adam_natgrad_fit
+
+    dtype = jnp.dtype(dtype_name)
+    f32_mode = dtype == jnp.float32
+    var_cap = 1e3
+    M, D = config.num_inducing, config.input_dim
+    dummy = svgp.init_params(config, jnp.zeros((max(M, 1), D), dtype=dtype),
+                             key=jax.random.PRNGKey(0), dtype=dtype)
+    mask_np = jax.tree.map(np.asarray, svgp.train_mask(config, dummy))
+
+    def make_loss(y, factor, X):
+        def loss(p):
+            obj = svgp.training_loss(config, p, X, y,
+                                     penalization_factor=factor)
+            if f32_mode:
+                from ..kernels.gram import component_variances as _cv
+
+                v = _cv(config.spec, p["kernel_raw"])
+                obj = obj + jnp.sum(jax.nn.relu(v - var_cap) ** 2)
+            return obj
+
+        return loss
+
+    def first_seg(y, factor, bound, data):
+        X, p0, _probes = data
+        return adam_natgrad_fit(make_loss(y, factor, X), p0,
+                                mask=mask_np, num_opt_iter=bound,
+                                return_carry=True)
+
+    def next_seg(carry, y, factor, bound, data):
+        X, p0, _probes = data
+        return adam_natgrad_fit(make_loss(y, factor, X), p0,
+                                mask=mask_np, num_opt_iter=bound,
+                                carry=carry, return_carry=True)
+
+    def first_seg_b(y, factor, bound, p0, data):
+        X, _, _probes = data
+        return adam_natgrad_fit(make_loss(y, factor, X), p0,
+                                mask=mask_np, num_opt_iter=bound,
+                                return_carry=True)
+
+    first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))
+    next_fn = jax.jit(jax.vmap(next_seg, in_axes=(0, 0, 0, None, None)))
+    first_b_fn = jax.jit(jax.vmap(first_seg_b,
+                                  in_axes=(0, 0, None, 0, None)))
     return first_fn, next_fn, first_b_fn
 
 

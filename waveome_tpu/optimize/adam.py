@@ -29,6 +29,7 @@ class AdamResult(NamedTuple):
     params: dict
     loss: jnp.ndarray
     num_iters: jnp.ndarray
+    converged: jnp.ndarray
 
 
 def adam_natgrad_fit(
@@ -42,12 +43,18 @@ def adam_natgrad_fit(
     convergence_threshold: float = 1e-9,
     use_natgrad: bool = True,
     check_every: int = 100,
+    carry=None,
+    return_carry: bool = False,
 ) -> AdamResult:
     """Optimize ``params0`` (a dict pytree with 'q_mu'/'q_sqrt_raw' entries).
 
     ``mask`` freezes entries as in lbfgs_fit. When ``use_natgrad`` is True,
     (q_mu, q_sqrt_raw) are excluded from Adam and updated by the
     natural-gradient rule (model_classes.py:351-364).
+
+    Segmented execution: ``num_opt_iter`` may be traced; pass the state
+    returned under ``return_carry=True`` back as ``carry`` with a larger
+    bound to resume (the batch driver's bounded-duration device calls).
     """
     var_keys = ("q_mu", "q_sqrt_raw") if use_natgrad else ()
 
@@ -125,16 +132,23 @@ def adam_natgrad_fit(
         *_, it, done = carry
         return (it < num_opt_iter) & ~done
 
-    init = (
-        flat0,
-        opt.init(flat0),
-        flat0,
-        jnp.asarray(jnp.inf, dtype=flat0.dtype),
-        jnp.asarray(0),
-        jnp.asarray(False),
-    )
-    flat_fin, _, snapshot, _, it, _ = jax.lax.while_loop(cond, body, init)
+    if carry is None:
+        init = (
+            flat0,
+            opt.init(flat0),
+            flat0,
+            jnp.asarray(jnp.inf, dtype=flat0.dtype),
+            jnp.asarray(0),
+            jnp.asarray(False),
+        )
+    else:
+        init = carry
+    carry_fin = jax.lax.while_loop(cond, body, init)
+    flat_fin, _, snapshot, _, it, done = carry_fin
     final_loss = f(flat_fin)
     bad = ~jnp.isfinite(final_loss)
     flat_out = jnp.where(bad, snapshot, flat_fin)
-    return AdamResult(unravel(flat_out), f(flat_out), it)
+    result = AdamResult(unravel(flat_out), f(flat_out), it, done & ~bad)
+    if return_carry:
+        return result, carry_fin
+    return result
