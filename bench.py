@@ -1,15 +1,23 @@
-"""Benchmark: per-outcome penalized GP fits/min on the tutorial workload.
+"""Benchmark: per-outcome GP fits/min on the reference's three headline
+workloads, plus an analytic MFU estimate.
 
-Reference baseline (BASELINE.md): the overview tutorial fits 3 outcomes in
-9.6 minutes via one Ray process per outcome on CPU (~0.31 models/min) —
-N=500 observations, 3 covariates (id, time, female), saturated kernel,
-Gaussian likelihood, scipy L-BFGS. This benchmark runs the SAME per-model
-workload shape (N=500, M=500 inducing = all data like the reference's
-BaseGP default, 4-component saturated kernel, horseshoe penalization,
-L-BFGS, pruning + feature importances) for a large outcome batch as one
-vmapped XLA program on the TPU chip, and reports models/min.
+Reference baselines (BASELINE.md):
+  - penalized Gaussian: 3 outcomes / 9.6 min via Ray on CPU
+    (waveome_overview.ipynb cell 9) -> 0.3125 models/min
+  - penalized NB (iHMP): 2 outcomes / ~32 min on an HPC node
+    (ihmp_waveome.ipynb cell 11) -> 0.0625 models/min
+  - kernel search: one candidate fit (kernel_test) = 2.55 min CPU
+    (kernel_learning/simulation_test.py:219) -> 0.392 candidate fits/min
+    — the BASELINE.json north-star metric ("per-outcome GP fits/min on
+    kernel search", target 1000+/min)
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per workload, then a combined summary line carrying
+every number (the driver's single-line contract):
+{"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Env: BENCH_WORKLOAD=gaussian|nb|search|all (default all),
+BENCH_OUTCOMES, BENCH_MAX_ITER, BENCH_SEARCH_OUTCOMES,
+BENCH_SEARCH_DEPTH, BENCH_SEARCH_RESTARTS.
 """
 
 import json
@@ -20,8 +28,12 @@ import time
 import numpy as np
 
 BASELINE_MODELS_PER_MIN = 3 / 9.6  # waveome_overview.ipynb cell-9 output
-# iHMP notebook cell 11: ~32 min for 2 NB outcomes on an HPC node
-BASELINE_NB_PER_MIN = 2 / 32.0
+BASELINE_NB_PER_MIN = 2 / 32.0     # ihmp_waveome.ipynb cell 11
+BASELINE_SEARCH_PER_MIN = 1 / 2.55  # simulation_test.py:219 comment
+
+# TPU v5e (one chip): 197 TFLOP/s bf16 peak; f32 matmul rides the MXU at
+# roughly half that. We report MFU against the bf16 peak (conservative).
+PEAK_FLOPS = 197e12
 
 
 def simulate(n_units=50, n_per=10, n_outcomes=256, seed=0):
@@ -46,28 +58,19 @@ def simulate(n_units=50, n_per=10, n_outcomes=256, seed=0):
     return X, Ys
 
 
-def main():
+def _emit(out):
+    print(json.dumps(out))
+    sys.stdout.flush()
+    return out
+
+
+def main_gaussian():
+    """Penalized Gaussian tutorial workload (N=500, M=N, saturated
+    kernel, horseshoe, L-BFGS, pruning + importances)."""
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-
-    import waveome_tpu
     from waveome_tpu.fit import fit_outcomes_penalized
     from waveome_tpu.kernels import full_kernel_build
-
-    waveome_tpu.set_precision("float32")
-
-    # BENCH_WORKLOAD=nb benchmarks the negative-binomial (iHMP-shaped)
-    # pipeline instead of the Gaussian tutorial workload
-    if os.environ.get("BENCH_WORKLOAD", "gaussian") == "nb":
-        return main_nb()
 
     n_outcomes = int(os.environ.get("BENCH_OUTCOMES", "256"))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", "200"))
@@ -77,7 +80,6 @@ def main():
         cat_vars=[0, 2], num_vars=[1], unit_idx=0,
         var_names=["id", "time", "female"], return_sum=True,
     )
-
     kwargs = dict(
         spec=spec,
         likelihood="gaussian",
@@ -88,35 +90,48 @@ def main():
         device_chunk=int(os.environ.get("BENCH_DEVICE_CHUNK", "8")),
     )
 
-    # warm-up / compile (same shapes)
     t0 = time.time()
     res = fit_outcomes_penalized(X, Ys, **kwargs)
     jax.block_until_ready(res.results.loss)
     compile_and_run = time.time() - t0
 
-    # timed steady-state run
     t0 = time.time()
-    res = fit_outcomes_penalized(X, Ys[:, : n_outcomes], seed=1, **kwargs)
+    res = fit_outcomes_penalized(X, Ys, seed=1, **kwargs)
     jax.block_until_ready(res.results.loss)
     elapsed = time.time() - t0
 
     finite = np.isfinite(np.asarray(res.results.loss))
     assert finite.mean() > 0.95, f"too many failed fits: {finite.mean()}"
-
     fits_per_min = n_outcomes / (elapsed / 60.0)
-    out = {
+
+    # Analytic MFU for the dominant stage: each L-BFGS iteration of the
+    # exact-Gaussian path evaluates the objective at 4 line-search trials
+    # + 1 gradient pass (reverse-mode ~2 forward-equivalents); each
+    # objective eval factorizes the NxN gram (N^3/3 fused-multiply-adds =
+    # 2/3 N^3 flops) plus gram construction and solves (~2 N^2 ops,
+    # negligible). Lower bound — ignores pruning/importances/optimal-q.
+    N = X.shape[0]
+    iters = float(np.asarray(res.results.num_iters, dtype=np.float64).mean())
+    evals_per_iter = 4 + 2
+    flops = n_outcomes * iters * evals_per_iter * (2.0 / 3.0) * N ** 3
+    mfu = flops / elapsed / PEAK_FLOPS
+
+    print(
+        f"# gaussian n_outcomes={n_outcomes} N={N} max_iter={max_iter} "
+        f"elapsed={elapsed:.1f}s first_call={compile_and_run:.1f}s "
+        f"finite_frac={finite.mean():.3f} mean_iters={iters:.1f} "
+        f"devices={len(jax.devices())}",
+        file=sys.stderr,
+    )
+    return _emit({
         "metric": "penalized_gp_fits_per_min",
         "value": round(fits_per_min, 2),
         "unit": "models/min",
         "vs_baseline": round(fits_per_min / BASELINE_MODELS_PER_MIN, 1),
-    }
-    print(json.dumps(out))
-    print(
-        f"# n_outcomes={n_outcomes} N={X.shape[0]} max_iter={max_iter} "
-        f"elapsed={elapsed:.1f}s first_call={compile_and_run:.1f}s "
-        f"finite_frac={finite.mean():.3f} devices={len(jax.devices())}",
-        file=sys.stderr,
-    )
+        "mfu_pct": round(100 * mfu, 2),
+        "first_call_s": round(compile_and_run, 1),
+        "mean_iters": round(iters, 1),
+    })
 
 
 def main_nb():
@@ -128,13 +143,13 @@ def main_nb():
         os.path.dirname(os.path.abspath(__file__)), "examples"))
     from ihmp_style import simulate_ihmp
 
+    from waveome_tpu import GPSearch
     from waveome_tpu.fit import fit_outcomes_penalized
     from waveome_tpu.kernels import full_kernel_build
 
     n_outcomes = int(os.environ.get("BENCH_OUTCOMES", "128"))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", "2000"))
     Xdf, Ydf = simulate_ihmp(n_outcomes=n_outcomes)
-    from waveome_tpu import GPSearch
 
     gps = GPSearch(X=Xdf, Y=Ydf, unit_col="id",
                    categorical_vars=["diagnosis", "race", "site"],
@@ -159,15 +174,109 @@ def main_nb():
     finite = np.isfinite(np.asarray(res.results.loss))
     assert finite.mean() > 0.95, f"too many failed fits: {finite.mean()}"
     fits_per_min = n_outcomes / (elapsed / 60.0)
-    print(json.dumps({
+    print(f"# nb n_outcomes={n_outcomes} N={X_np.shape[0]} "
+          f"max_iter={max_iter} elapsed={elapsed:.1f}s "
+          f"finite_frac={finite.mean():.3f}", file=sys.stderr)
+    return _emit({
         "metric": "penalized_nb_fits_per_min",
         "value": round(fits_per_min, 2),
         "unit": "models/min",
         "vs_baseline": round(fits_per_min / BASELINE_NB_PER_MIN, 1),
-    }))
-    print(f"# nb n_outcomes={n_outcomes} N={X_np.shape[0]} "
-          f"max_iter={max_iter} elapsed={elapsed:.1f}s "
-          f"finite_frac={finite.mean():.3f}", file=sys.stderr)
+    })
+
+
+def main_search():
+    """Greedy kernel-structure search (the BASELINE.json north-star):
+    lockstep multi_outcome_kernel_search over a batch of outcomes,
+    counting candidate fits (= the reference's kernel_test calls, one of
+    which took 2.55 min on CPU)."""
+    import jax
+
+    from waveome_tpu.search import engine
+    from waveome_tpu.search.greedy import multi_outcome_kernel_search
+
+    n_outcomes = int(os.environ.get("BENCH_SEARCH_OUTCOMES", "64"))
+    max_depth = int(os.environ.get("BENCH_SEARCH_DEPTH", "3"))
+    num_restart = int(os.environ.get("BENCH_SEARCH_RESTARTS", "3"))
+    X, Ys = simulate(n_outcomes=max(n_outcomes, 8))
+
+    search_kwargs = dict(
+        kern_list=["squared_exponential", "matern12", "linear", "periodic"],
+        cat_vars=[0, 2],
+        max_depth=max_depth,
+        num_restart=num_restart,
+        num_inducing_points=X.shape[0],
+        random_seed=0,
+    )
+
+    # warm-up on a small outcome slice (populates the per-shape programs)
+    multi_outcome_kernel_search(X, Ys[:, :8], **search_kwargs)
+
+    engine.FIT_COUNT = 0
+    t0 = time.time()
+    results = multi_outcome_kernel_search(X, Ys[:, :n_outcomes],
+                                          **search_kwargs)
+    elapsed = time.time() - t0
+    n_fits = engine.FIT_COUNT
+
+    ok = sum(1 for r in results.values() if r["best_model"] is not None)
+    assert ok >= 0.95 * n_outcomes, f"searches failed: {ok}/{n_outcomes}"
+    fits_per_min = n_fits / (elapsed / 60.0)
+    outcomes_per_min = n_outcomes / (elapsed / 60.0)
+    print(f"# search n_outcomes={n_outcomes} candidate_fits={n_fits} "
+          f"depth={max_depth} restarts={num_restart} elapsed={elapsed:.1f}s",
+          file=sys.stderr)
+    return _emit({
+        "metric": "kernel_search_fits_per_min",
+        "value": round(fits_per_min, 2),
+        "unit": "candidate fits/min",
+        "vs_baseline": round(fits_per_min / BASELINE_SEARCH_PER_MIN, 1),
+        "outcomes_searched_per_min": round(outcomes_per_min, 2),
+        "candidate_fits": n_fits,
+    })
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import waveome_tpu
+
+    waveome_tpu.set_precision("float32")
+
+    which = os.environ.get("BENCH_WORKLOAD", "all")
+    if which == "gaussian":
+        return main_gaussian()
+    if which == "nb":
+        return main_nb()
+    if which == "search":
+        return main_search()
+
+    g = main_gaussian()
+    nb = main_nb()
+    se = main_search()
+    # combined summary line (last JSON line = the driver-parsed record):
+    # headline remains the round-1/2 penalized metric for continuity,
+    # with the north-star search number and NB number as named extras.
+    _emit({
+        "metric": "penalized_gp_fits_per_min",
+        "value": g["value"],
+        "unit": "models/min",
+        "vs_baseline": g["vs_baseline"],
+        "kernel_search_fits_per_min": se["value"],
+        "kernel_search_vs_baseline": se["vs_baseline"],
+        "outcomes_searched_per_min": se["outcomes_searched_per_min"],
+        "penalized_nb_fits_per_min": nb["value"],
+        "nb_vs_baseline": nb["vs_baseline"],
+        "mfu_pct": g["mfu_pct"],
+        "first_call_s": g["first_call_s"],
+    })
 
 
 if __name__ == "__main__":

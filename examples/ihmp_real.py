@@ -1,0 +1,257 @@
+"""REAL iHMP IBD metabolome application — the reference's flagship workload.
+
+Runs the actual iHMP labeled metabolome (596 metabolites x ~546 stool
+samples) shipped with the reference
+(/root/reference/examples/iHMP/data/iHMP_labeled_metabolomics.csv +
+iHMP_merge.csv) end-to-end through ``GPSearch.penalized_optimization``
+with the negative-binomial likelihood and the 9 covariates of the
+reference's HPC run (ihmp_waveome_hpc_run.py:128-173), via the
+checkpointed chunked sweep on the TPU chip.
+
+Data prep ports ihmp_waveome_hpc_run.py:17-124 semantics:
+  - metabolomics matrix: drop annotation columns, transpose to
+    sample x metabolite, impute 0 for missing intensities (:20-34)
+  - metadata: select the covariate columns, derive
+      study_days   (the merge CSV in this image has no date_of_receipt
+                    column, so study_days = week_num * 7 — a documented
+                    deviation; week_num is the study-week of the visit)
+      age        = consent_age + study_days/365            (:100)
+      general_wellbeing = 'General wellbeing' combined with
+                   'General well being over the past 24 hours'  (:102-105)
+      severity   = hbi if CD else sccai                    (:106-110)
+      active_disease = severity >= 5 (NaN compares False -> "0",
+                   reproducing the reference's np.where semantics) (:111)
+  - drop samples with missing covariates (:128-145), align sample IDs
+    between metadata and metabolite matrix (ihmp_waveome.ipynb cell 7)
+
+The reference fit TWO of these metabolites in ~32 minutes on an HPC node
+(ihmp_waveome.ipynb cell 11: "32m run time, this is what was used for
+the paper"). This script fits ALL 596.
+
+Env knobs: IHMP_OUTCOMES (default: all 596), IHMP_MAX_ITER (default
+2000), IHMP_M inducing points (default 100), IHMP_CKPT (checkpoint dir).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+REF_DATA = "/root/reference/examples/iHMP"
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+OUT_DIR = os.path.join(HERE, "output", "ihmp_real")
+
+COVARIATES = [
+    "participant_id", "site_name", "age_at_diagnosis", "age",
+    "diagnosis", "race", "sex", "general_wellbeing", "active_disease",
+]
+CATEGORICAL = [
+    "site_name", "diagnosis", "race", "sex", "general_wellbeing",
+    "active_disease",
+]
+
+
+def load_ihmp(data_dir=os.path.join(REF_DATA, "data")):
+    """(X, Y, lookup): covariates, metabolite intensities, name lookup."""
+    mbx = pd.read_csv(
+        os.path.join(data_dir, "iHMP_labeled_metabolomics.csv"),
+        low_memory=False,
+    )
+    # metabolite name lookup (ihmp_waveome_hpc_run.py:19)
+    lookup = mbx[["HMDB (*Representative ID)", "Metabolite", "Compound"]]
+    # sample x metabolite intensity matrix (ihmp_waveome_hpc_run.py:20-34)
+    mbx = (
+        mbx.drop(columns=mbx.columns[:6])
+        .set_index("Compound")
+        .transpose()
+        .reset_index(names="External ID")
+        .fillna(0.0)
+        .set_index("External ID")
+        .sort_index()
+    )
+
+    mtd = pd.read_csv(
+        os.path.join(data_dir, "iHMP_merge.csv"), low_memory=False
+    ).rename(columns={"Unnamed: 0": "External ID"})
+
+    mtd_sub = (
+        mtd.loc[mtd["data_type"].values == "metabolomics"]
+        .rename(columns={
+            "id": "participant_id",
+            "Age at diagnosis": "age_at_diagnosis",
+            "Hispanic or Latino Origin": "hispanic",
+        })
+        # no date_of_receipt in the merge CSV: study_days from week_num
+        .assign(study_days=lambda x: x["week_num"] * 7.0)
+        .assign(age=lambda x: x["consent_age"] + (x["study_days"] / 365.0))
+        .assign(
+            general_wellbeing=lambda x: x["General wellbeing"].combine_first(
+                x["General well being over the past 24 hours"]
+            )
+        )
+        .assign(
+            severity=lambda x: np.where(
+                x["diagnosis"] == "CD", x["hbi"], x["sccai"]
+            )
+        )
+        # NaN severity compares False -> "0" (reference semantics,
+        # ihmp_waveome_hpc_run.py:111)
+        .assign(active_disease=lambda x: np.where(
+            x["severity"] >= 5, "1", "0"))
+        .set_index("External ID")
+        .sort_index()
+    )
+
+    # drop samples missing any covariate (ihmp_waveome_hpc_run.py:128-145)
+    x_miss_idx = mtd_sub[COVARIATES].isna().sum(axis=1) > 0
+    X = mtd_sub.loc[~x_miss_idx, COVARIATES]
+
+    # align the metabolite matrix to the retained samples
+    # (ihmp_waveome.ipynb cell 7)
+    common = X.index.intersection(mbx.index)
+    X = X.loc[common]
+    Y = mbx.loc[common]
+    assert X.index.equals(Y.index)
+    return X, Y, lookup
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(HERE), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from waveome_tpu import GPSearch
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    X, Y, lookup = load_ihmp()
+    n_out = int(os.environ.get("IHMP_OUTCOMES", Y.shape[1]))
+    Y = Y.iloc[:, :n_out]
+    print(f"iHMP: {X.shape[0]} samples, {X.shape[1]} covariates, "
+          f"{Y.shape[1]} metabolites, "
+          f"{X['participant_id'].nunique()} participants")
+
+    gps = GPSearch(
+        X=X,
+        Y=Y,
+        unit_col="participant_id",
+        categorical_vars=CATEGORICAL,
+        outcome_likelihood="negativebinomial",
+    )
+
+    t0 = time.time()
+    gps.penalized_optimization(
+        # the paper run's kernel options (ihmp_waveome.ipynb cell 11:
+        # SE + Lin base kernels, no interaction terms)
+        kernel_options={
+            "second_order_numeric": False,
+            "unit_numeric_interactions": False,
+            "categorical_numeric_interactions": False,
+            "kerns": ["squared_exponential", "linear"],
+        },
+        penalization_factor=None,  # auto factor (model_search.py:284-289)
+        num_factor_iter=0,
+        random_seed=9102,  # ihmp_waveome_hpc_run.py:176
+        sparse_options={
+            "num_inducing_points": int(os.environ.get("IHMP_M", "100")),
+        },
+        optimization_options={
+            "num_opt_iter": int(os.environ.get("IHMP_MAX_ITER", "2000")),
+        },
+        sweep_options={
+            "checkpoint_dir": os.environ.get(
+                "IHMP_CKPT", os.path.join(OUT_DIR, "ckpt")),
+            "chunk_size": 128,
+        },
+        verbose=True,
+    )
+    wall_min = (time.time() - t0) / 60.0
+
+    losses = np.array([m.loss for m in gps.models.values()])
+    finite = np.isfinite(losses)
+    fits_per_min = len(gps.models) / max(wall_min, 1e-9)
+    print(f"fitted {len(gps.models)} metabolites in {wall_min:.1f} min "
+          f"({fits_per_min:.1f} fits/min), finite_frac={finite.mean():.3f}")
+
+    # importance table + artifacts
+    frame = gps.importance_frame()
+    frame.to_csv(os.path.join(OUT_DIR, "importances.csv"))
+
+    # top metabolites per covariate, with human-readable names
+    # (ihmp_waveome.ipynb cell 15's hbi_compounds pattern)
+    tables = {}
+    for feat in ["active_disease", "age", "diagnosis",
+                 "general_wellbeing", "age_at_diagnosis"]:
+        # exact bracket match: "age" must not catch "age_at_diagnosis"
+        cols = [c for c in frame.columns if f"[{feat}]" in c]
+        if not cols:
+            continue
+        score = frame[cols].sum(axis=1)
+        top = score.sort_values(ascending=False).head(15)
+        top_df = top.rename("metric").reset_index()
+        top_df = top_df.rename(columns={top_df.columns[0]: "Compound"})
+        named = pd.merge(lookup, top_df, on="Compound").sort_values(
+            "metric", ascending=False)
+        tables[feat] = [
+            {"compound": r["Compound"],
+             "metabolite": (None if pd.isna(r["Metabolite"])
+                            else r["Metabolite"]),
+             "metric": round(float(r["metric"]), 3)}
+            for _, r in named.iterrows()
+        ]
+
+    # how often is each covariate selected into a model at all
+    active_counts = {}
+    for feat in gps.feat_names:
+        cols = [c for c in frame.columns if f"[{feat}]" in c]
+        if cols:
+            active_counts[feat] = int((frame[cols].sum(axis=1) > 0).sum())
+
+    summary = {
+        "n_samples": int(X.shape[0]),
+        "n_participants": int(X["participant_id"].nunique()),
+        "n_metabolites": len(gps.models),
+        "wall_minutes": round(wall_min, 2),
+        "fits_per_min": round(fits_per_min, 2),
+        "finite_frac": round(float(finite.mean()), 4),
+        "reference_baseline": "2 metabolites in ~32 min on an HPC node "
+                              "(ihmp_waveome.ipynb cell 11)",
+        "vs_reference_fits_per_min": round(fits_per_min / (2 / 32.0), 1),
+        "covariate_active_counts": active_counts,
+        "top_drivers": tables,
+        "config": {
+            "likelihood": "negativebinomial",
+            "num_inducing": int(os.environ.get("IHMP_M", "100")),
+            "max_iter": int(os.environ.get("IHMP_MAX_ITER", "2000")),
+            "kernels": ["squared_exponential", "linear"],
+        },
+    }
+    with open(os.path.join(OUT_DIR, "ihmp_real_results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in
+                      ("n_samples", "n_metabolites", "wall_minutes",
+                       "fits_per_min", "vs_reference_fits_per_min")}))
+
+    # heatmap over the most-explained metabolites (plot_heatmap defaults
+    # would draw all 596 rows)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+
+        fig = gps.plot_heatmap(var_cutoff=0.2, figsize=(14, 18))
+        fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
+                    bbox_inches="tight")
+        print("saved heatmap.png")
+    except Exception as e:  # artifact generation must not void the run
+        print(f"heatmap failed: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,23 @@ def test_reverse_transform(fitted_gps):
     np.testing.assert_allclose(
         v, gps.Y_means["y_sin"], rtol=1e-6
     )
+
+
+def test_plot_marginal_all_modes(fitted_gps):
+    """gp_predict_fun parity modes (predictions.py:519-729): posterior
+    sample curves (num_funs), obs-scale CI via predict_y moments, func
+    (latent) mode, and the per-unit conditional curve family."""
+    gps = fitted_gps
+    # mean mode with posterior samples
+    fig, ax = gps.plot_marginal("y_sin", "time", num_funs=5)
+    # sampled curves + mean line present
+    assert len(ax.lines) >= 6
+    # obs mode
+    fig, ax = gps.plot_marginal("y_sin", "time", predict_type="obs",
+                                num_funs=0)
+    assert len(ax.lines) >= 1
+    # func mode + all-unit curve family
+    fig, ax = gps.plot_marginal("y_sin", "time", predict_type="func",
+                                num_funs=0, plot_all_units=True)
+    n_units = gps.X["id"].nunique()
+    assert len(ax.lines) >= n_units

@@ -186,3 +186,37 @@ def test_gamma_exponential_ve_vs_quadrature():
                           Fmu, Fvar)
         )
         np.testing.assert_allclose(quad, closed, rtol=1e-5)
+
+
+def test_nb_logprob_stable_at_real_data_scale():
+    """The iHMP metabolome has intensities up to ~3e10; the f32-stable
+    rearrangement (Stirling-cancelled gammaln difference + softplus log
+    ratios) must track the f64 naive formula at every scale, and its
+    gradients must stay finite and correctly signed."""
+    import jax
+    from scipy.special import gammaln as sgam
+
+    def naive64(m, Y, alpha):
+        k = 1.0 / alpha
+        return (sgam(k + Y) - sgam(Y + 1.0) - sgam(k)
+                + Y * np.log(m / (m + k)) - k * np.log1p(m * alpha))
+
+    for Y in [0.0, 1.0, 17.0, 99.0, 100.0, 101.0, 1e4, 1e6, 3e10]:
+        for alpha in [0.01, 0.5, 2.0]:
+            for mfac in [0.3, 1.0, 3.0]:
+                m = max(Y, 1.0) * mfac
+                got = float(nb_log_prob(
+                    jnp.float32(m), jnp.float32(Y), jnp.float32(alpha)))
+                want = float(naive64(m, Y, alpha))
+                assert abs(got - want) / max(abs(want), 1.0) < 5e-4, (
+                    Y, alpha, m, got, want)
+
+    # gradient direction: underestimating the mean must push F up
+    g = jax.grad(lambda F: nb_log_prob(
+        jnp.exp(F), jnp.float32(3e10), jnp.float32(1.0)))(jnp.float32(20.0))
+    assert np.isfinite(float(g)) and float(g) > 0
+
+    # near the optimum the value is moderate (no 1e11 cancellation noise)
+    v = float(nb_log_prob(jnp.float32(3e10), jnp.float32(3e10),
+                          jnp.float32(1.0)))
+    assert -50.0 < v < 0.0

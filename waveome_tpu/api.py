@@ -280,12 +280,20 @@ class GPSearch:
         sparse_options: Optional[dict] = None,
         optimization_options: Optional[dict] = None,
         random_seed: Optional[int] = None,
+        sweep_options: Optional[dict] = None,
         **_compat,
     ) -> None:
         """Fit every outcome with the horseshoe-penalized saturated kernel.
 
         ``penalization_factor=None`` triggers the auto factor + iterative
         re-estimation (model_search.py:273-299).
+
+        ``sweep_options`` routes the batch through the chunked,
+        checkpoint/resume sweep driver (fit/sweep.py) instead of one
+        monolithic call — the production path for hundreds+ of outcomes
+        (the reference's Ray batching + user-level pickling,
+        model_search.py:411-512). Keys: ``checkpoint_dir``, ``chunk_size``
+        (default 256), ``partition_across_hosts``.
         """
         _warn_unknown_kwargs("penalized_optimization", _compat)
         self.model_selection_type = "penalized"
@@ -318,10 +326,7 @@ class GPSearch:
         n_out = len(self.out_names)
         print(f"Building {n_out} models...")
 
-        batch = fit_outcomes_penalized(
-            self.X.to_numpy(),
-            self.Y.to_numpy(),
-            spec,
+        fit_kwargs = dict(
             likelihood=self.likelihood,
             num_inducing_points=sparse_options.get(
                 "num_inducing_points", 500
@@ -342,21 +347,66 @@ class GPSearch:
             objective=optimization_options.get("objective", "auto"),
             device_chunk=optimization_options.get("device_chunk", 8),
         )
-        self._batch = batch
-
         comp_names = list(spec.component_names())
-        for b, feat in enumerate(self.out_names):
-            r = batch.for_outcome(b)
-            self.models[feat] = FittedGP(
-                config=batch.config,
-                params=r.params,
-                component_mask=r.component_mask,
-                factor_mask=r.factor_mask,
-                importances=r.importances,
-                penalization_factor=r.penalization_factor,
-                loss=r.loss,
-                component_names=comp_names,
+
+        if sweep_options is not None:
+            # production path: chunked checkpoint/resume sweep
+            from .fit.sweep import run_penalized_sweep
+            from .models import svgp as _svgp
+
+            sweep_options = dict(sweep_options)
+            X_np = self.X.to_numpy()
+            summaries = run_penalized_sweep(
+                X_np,
+                self.Y.to_numpy(),
+                spec,
+                out_names=self.out_names,
+                checkpoint_dir=sweep_options.get("checkpoint_dir"),
+                chunk_size=sweep_options.get("chunk_size", 256),
+                partition_across_hosts=sweep_options.get(
+                    "partition_across_hosts", True
+                ),
+                verbose=verbose,
+                keep_params=True,
+                **fit_kwargs,
             )
+            config = svgp.make_config(
+                spec, self.likelihood, num_data=X_np.shape[0],
+                input_dim=X_np.shape[1],
+                num_inducing_points=fit_kwargs["num_inducing_points"],
+            )
+            for feat, r in summaries.items():
+                self.models[feat] = FittedGP(
+                    config=config,
+                    params=r["params"],
+                    component_mask=r["component_mask"],
+                    factor_mask=r["factor_mask"],
+                    importances=r["importances"],
+                    penalization_factor=r["penalization_factor"],
+                    loss=r["loss"],
+                    component_names=comp_names,
+                )
+        else:
+            batch = fit_outcomes_penalized(
+                self.X.to_numpy(), self.Y.to_numpy(), spec, **fit_kwargs,
+            )
+            self._batch = batch
+            for b, feat in enumerate(self.out_names):
+                r = batch.for_outcome(b)
+                self.models[feat] = FittedGP(
+                    config=batch.config,
+                    params=r.params,
+                    component_mask=r.component_mask,
+                    factor_mask=r.factor_mask,
+                    importances=r.importances,
+                    penalization_factor=r.penalization_factor,
+                    loss=r.loss,
+                    component_names=comp_names,
+                )
+            if verbose:
+                for feat, m in self.models.items():
+                    print(f"  {feat}: {m.kernel_name} "
+                          f"(loss={m.loss:.3f})")
 
         elapsed = np.round((time.time() - start) / 60, 1)
         print(f"Finished {n_out} models (100%), elapsed time: {elapsed} "
@@ -374,16 +424,29 @@ class GPSearch:
         prune: bool = True,
         keep_all: bool = False,
         metric_diff: float = 6.0,
+        num_restart: int = 5,
+        softmax_select: bool = False,
+        split: bool = False,
+        training_percent: float = 0.7,
         random_seed: Optional[int] = None,
         verbose: bool = False,
         **_compat,
     ) -> None:
+        """Greedy kernel-structure search per outcome
+        (model_search.py:1069-1250). ``num_restart`` random restarts per
+        candidate fit (kernel_test, model_search.py:2269-2297);
+        ``softmax_select`` enables stochastic exploration
+        (model_search.py:3535-3627); ``split`` scores candidates on a
+        unit-level holdout instead of BIC (split_kernel_search,
+        model_search.py:3275-3532)."""
         from .search.greedy import multi_outcome_kernel_search
 
         _warn_unknown_kwargs("run_search", _compat)
         self.model_selection_type = "search"
         self.run_parameters["run_search"] = {
             "kernels": list(kernels), "max_depth": max_depth,
+            "num_restart": num_restart, "softmax_select": softmax_select,
+            "split": split,
         }
         self.search_info = {}
         start = time.time()
@@ -403,6 +466,11 @@ class GPSearch:
             prune=prune,
             keep_all=keep_all,
             metric_diff=metric_diff,
+            num_restart=num_restart,
+            softmax_select=softmax_select,
+            split=split,
+            training_percent=training_percent,
+            unit_idx=self.unit_idx,
             lik=self.likelihood,
             random_seed=random_seed,
             verbose=verbose,

@@ -36,6 +36,7 @@ def run_penalized_sweep(
     chunk_size: int = 256,
     partition_across_hosts: bool = True,
     verbose: bool = True,
+    keep_params: bool = False,
     **fit_kwargs,
 ) -> Dict[str, dict]:
     """Fit (potentially tens of thousands of) outcomes in chunks.
@@ -43,7 +44,10 @@ def run_penalized_sweep(
     ``Ys``: (N, B) array; ``out_names`` parallel outcome names.
     Returns {name: {"component_mask", "importances", "loss",
     "penalization_factor"}}; full parameter pytrees are persisted to the
-    checkpoint directory when given.
+    checkpoint directory when given, and additionally kept in the
+    returned summaries when ``keep_params`` (so callers like
+    ``GPSearch.penalized_optimization(sweep_options=...)`` can build
+    predict-capable model handles without re-reading the checkpoint).
     """
     Ys = np.asarray(Ys)
     N, B = Ys.shape
@@ -60,10 +64,16 @@ def run_penalized_sweep(
     # the manifest commit at each chunk boundary is the durability point
     ck = (SweepCheckpoint(checkpoint_dir, use_async_sink=True)
           if checkpoint_dir else None)
-    if ck is not None:
-        todo = ck.remaining(todo)
-
     results: Dict[str, dict] = {}
+    if ck is not None:
+        fitted = set(ck.fitted())
+        for name in todo:
+            if name in fitted:
+                loaded = ck.load_outcome(name)
+                if not keep_params:
+                    loaded.pop("params", None)
+                results[name] = loaded
+        todo = ck.remaining(todo)
     counter = ProgressCounter(total=len(todo))
     start = time.time()
     done = 0
@@ -80,12 +90,12 @@ def run_penalized_sweep(
                 "loss": np.asarray(r.loss),
                 "penalization_factor": np.asarray(r.penalization_factor),
             }
+            params_np = jax.tree.map(np.asarray, r.params)
+            if keep_params:
+                summary["params"] = params_np
             results[name] = summary
             if ck is not None:
-                ck.save_outcome(name, {
-                    **summary,
-                    "params": jax.tree.map(np.asarray, r.params),
-                })
+                ck.save_outcome(name, {**summary, "params": params_np})
             counter.add(1)
         if ck is not None:
             # durable point: async sink flushed, manifest extended — a

@@ -273,20 +273,38 @@ def gp_predict_fun(
     figsize=(6, 4),
     x_transform=None,
     y_transform=None,
+    plot_all_units: bool = False,
+    random_seed: int = 0,
+    n_grid: int = 300,
 ):
     """Marginal posterior along one axis at reference quantiles
     (predictions.py:519-729): other covariates pinned at their
     ``ref_quantile``; optional unit-conditional curve. ``x_transform``/
     ``y_transform`` undo standardization for display
-    (model_search.py:1598-1675)."""
+    (model_search.py:1598-1675).
+
+    Parity with the reference's three prediction modes
+    (predictions.py:561-700):
+      - ``predict_type="mean"``: latent CI pushed through the likelihood
+        conditional mean;
+      - ``predict_type="obs"``: observation-scale CI from predict_y
+        moments (mean ± z·√var_y);
+      - ``predict_type="func"``: latent mean/CI directly.
+    ``num_funs`` posterior function samples are drawn from the full-cov
+    latent posterior and overlaid (predictions.py:614-640).
+    ``plot_all_units`` overlays one thin conditional mean curve per unit
+    (the reference's all-units mode); ``unit_label`` conditions the whole
+    plot on one unit.
+    """
     x_transform = x_transform or _identity_x
     y_transform = y_transform or _identity_y
     X = np.asarray(X)
     Y = np.asarray(Y)
-    x_new = np.zeros((300, X.shape[1]))
+    x_new = np.zeros((n_grid, X.shape[1]))
     for d in range(X.shape[1]):
         x_new[:, d] = np.quantile(X[:, d], ref_quantile)
-    x_new[:, x_idx] = np.linspace(X[:, x_idx].min(), X[:, x_idx].max(), 300)
+    x_new[:, x_idx] = np.linspace(X[:, x_idx].min(), X[:, x_idx].max(),
+                                  n_grid)
     if unit_idx is not None and unit_label is not None:
         x_new[:, unit_idx] = unit_label
 
@@ -298,11 +316,50 @@ def gp_predict_fun(
     if predict_type == "func":
         mean, lo, hi = (fmu, fmu - conf_level_val * np.sqrt(fvar),
                         fmu + conf_level_val * np.sqrt(fvar))
+    elif predict_type == "obs":
+        ymu, yvar = model.predict_y(x_new)
+        ymu = np.asarray(ymu)[:, 0]
+        sd = np.sqrt(np.asarray(yvar)[:, 0])
+        mean, lo, hi = ymu, ymu - conf_level_val * sd, ymu + conf_level_val * sd
     else:
         mean = _cond_mean(model, fmu)
         lo = _cond_mean(model, fmu - conf_level_val * np.sqrt(fvar))
         hi = _cond_mean(model, fmu + conf_level_val * np.sqrt(fvar))
     x_plot = x_transform(x_idx, x_new[:, x_idx])
+
+    # posterior function samples (predictions.py:614-640)
+    if num_funs and num_funs > 0:
+        _, fcov = model.predict_f(x_new, full_cov=True)
+        fcov = np.asarray(fcov)
+        if fcov.ndim == 3:
+            fcov = fcov[0]
+        # eigh-based sampling: the posterior over a dense grid is often
+        # numerically rank-deficient (smooth kernels), so Cholesky fails
+        # at any reasonable jitter — clamp the spectrum instead
+        w, U = np.linalg.eigh((fcov + fcov.T) / 2.0)
+        root = U * np.sqrt(np.clip(w, 0.0, None))[None, :]
+        rng = np.random.default_rng(random_seed)
+        draws = fmu[None, :] + rng.standard_normal(
+            (num_funs, n_grid)) @ root.T
+        if predict_type != "func":
+            draws = np.stack([_cond_mean(model, d) for d in draws])
+        for d in draws:
+            ax.plot(x_plot, y_transform(d), color="C0", alpha=0.25,
+                    linewidth=0.7)
+
+    # per-unit conditional curve family (the reference's all-units mode)
+    if plot_all_units and unit_idx is not None:
+        units = np.unique(X[:, unit_idx])
+        cmap = plt.get_cmap("tab20")
+        for i, u in enumerate(units):
+            xu = x_new.copy()
+            xu[:, unit_idx] = u
+            fu, _ = model.predict_f(xu)
+            fu = np.asarray(fu)[:, 0]
+            cu = fu if predict_type == "func" else _cond_mean(model, fu)
+            ax.plot(x_plot, y_transform(cu), color=cmap(i % 20),
+                    alpha=0.5, linewidth=0.8)
+
     ax.plot(x_plot, y_transform(mean), color="C0")
     ax.fill_between(x_plot, y_transform(lo), y_transform(hi),
                     color="lightblue", alpha=0.5)

@@ -24,6 +24,13 @@ from ..models import svgp
 from ..optimize.plbfgs import plbfgs_fit
 
 
+# cumulative count of candidate fits (pre-padding) across all
+# fit_candidates calls this process — the search-throughput bench reads
+# this to report "candidate fits/min" (the BASELINE.md north-star unit,
+# equivalent to counting the reference's kernel_test invocations)
+FIT_COUNT = 0
+
+
 class CandidateFit(NamedTuple):
     params: dict  # stacked over candidates
     loglik: np.ndarray  # (n_cand,) log posterior (= ELBO, no priors)
@@ -221,6 +228,8 @@ def fit_candidates(
         y_cols = [0] * len(specs)
     N = X_np.shape[0]
     n_cand = len(specs)
+    global FIT_COUNT
+    FIT_COUNT += n_cand
 
     # pad the candidate list to a bucketed width (slot-0 duplicates,
     # sliced off the results below) so expansion steps of different sizes

@@ -14,6 +14,7 @@ instead of one sequential GPflow fit per candidate.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -408,33 +409,59 @@ def _make_fitted(entry, name):
     return fitted
 
 
+@lru_cache(maxsize=32)
+def _rsq_predict_fn(config):
+    """Jitted predict_y vmapped over component masks — one compiled
+    program per config covers every outcome's R² finalization (the
+    one-cold-mask vmap pattern of interpret/importance.py:62-69; replaces
+    the per-component predict loop the reference runs,
+    utilities.py:131-188)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import svgp
+
+    def one(mask, params, X, coded):
+        mu, _ = svgp.predict_y(config, params, X, component_mask=mask,
+                               coded=coded)
+        return mu[:, 0]
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None, None)))
+
+
 def _best_model_rsquare(entry, X, Y):
-    """Total + per-component R² (calc_rsquare, utilities.py:131-188)."""
+    """Total + per-component R² (calc_rsquare, utilities.py:131-188).
+
+    All (1 + n_active) predictions — the full model plus each
+    leave-one-component-out — evaluate in ONE vmapped device call with a
+    static (C+1, C) mask stack, so finalizing hundreds of outcomes costs
+    hundreds of batched calls, not thousands of sequential ones.
+    """
     import jax.numpy as jnp
 
     from ..interpret.metrics import calc_rsquare_components, calc_rsquare_total
-    from ..models import svgp
 
     config = entry["config"]
     spec = entry["spec"]
     params = {k: jnp.asarray(v) for k, v in entry["params"].items()}
-    coded = spec.padded(config.num_components,
-                        config.spec.padded().max_factors).coded()
-    ymu, _ = svgp.predict_y(config, params, jnp.asarray(X), coded=coded)
-    total = float(calc_rsquare_total(jnp.asarray(Y), ymu))
+    C = config.num_components
+    coded = spec.padded(C, config.spec.padded().max_factors).coded()
     n_active = spec.num_components
+
+    masks = np.zeros((C + 1, C))
+    masks[:, :n_active] = 1.0
+    for i in range(n_active):
+        masks[1 + i, i] = 0.0  # one-cold rows
+    mus = np.asarray(
+        _rsq_predict_fn(config)(jnp.asarray(masks), params,
+                                jnp.asarray(X), coded)
+    )
+    ymu = mus[0][:, None]
+    total = float(calc_rsquare_total(jnp.asarray(Y), jnp.asarray(ymu)))
     if n_active > 1:
-        comps = []
-        for i in range(n_active):
-            mask = np.zeros(config.num_components)
-            mask[:n_active] = 1.0
-            mask[i] = 0.0
-            mu_i, _ = svgp.predict_y(config, params, jnp.asarray(X),
-                                     component_mask=jnp.asarray(mask),
-                                     coded=coded)
-            comps.append(np.asarray(mu_i)[:, 0])
         shares = calc_rsquare_components(
-            jnp.asarray(Y), ymu, jnp.asarray(np.stack(comps))
+            jnp.asarray(Y), jnp.asarray(ymu),
+            jnp.asarray(mus[1:1 + n_active]),
         )
         return [round(float(x), 3) for x in np.asarray(shares)]
     return [round(total, 3), round(1 - total, 3)]
@@ -491,6 +518,10 @@ def multi_outcome_kernel_search(
     random_seed: Optional[int] = None,
     max_iter: int = 200,
     num_inducing_points: int = 500,
+    softmax_select: bool = False,
+    split: bool = False,
+    training_percent: float = 0.7,
+    unit_idx: Optional[int] = None,
 ) -> Dict[str, Dict]:
     """Lockstep greedy search over MANY outcomes.
 
@@ -499,12 +530,35 @@ def multi_outcome_kernel_search(
     search advances depth-by-depth together, and ALL candidates generated
     at a depth — across outcomes — fit as one batched coded-structure
     program (engine.fit_candidates with per-candidate outcome columns).
-    Semantics per outcome are identical to ``full_kernel_search``.
+    Semantics per outcome are identical to ``full_kernel_search``:
+    ``softmax_select`` applies the stochastic parent selection
+    (model_search.py:3535-3627) independently per outcome, and ``split``
+    scores candidates on a unit-level 70/30 holdout instead of BIC
+    (split_kernel_search, model_search.py:3326-3335; the split is shared
+    by all outcomes since they share X).
     """
+    rng = np.random.default_rng(random_seed)
     X = np.asarray(X, dtype=np.float64)
     Ys = np.asarray(Ys, dtype=np.float64)
     if Ys.ndim == 1:
         Ys = Ys[:, None]
+
+    X_holdout = Ys_holdout = None
+    if split:
+        if unit_idx is None:
+            n = X.shape[0]
+            idx = rng.permutation(n)
+            n_train = int(np.floor(training_percent * n))
+            train, hold = idx[:n_train], idx[n_train:]
+        else:
+            units = np.unique(X[:, unit_idx])
+            rng.shuffle(units)
+            n_train = int(np.floor(training_percent * len(units)))
+            mask = np.isin(X[:, unit_idx], units[:n_train])
+            train, hold = np.where(mask)[0], np.where(~mask)[0]
+        X_holdout, Ys_holdout = X[hold], Ys[hold]
+        X, Ys = X[train], Ys[train]
+
     B = Ys.shape[1]
     if out_names is None:
         out_names = [f"y{i}" for i in range(B)]
@@ -512,6 +566,7 @@ def multi_outcome_kernel_search(
     fit_kwargs = dict(
         likelihood=lik, num_restart=num_restart, random_seed=random_seed,
         max_iter=max_iter, num_inducing_points=num_inducing_points,
+        X_holdout=X_holdout, Y_holdout=Ys_holdout, split=split,
     )
 
     states = {
@@ -614,7 +669,17 @@ def multi_outcome_kernel_search(
             if d == max_depth:
                 stop = True
             if not keep_all:
-                keep_top_k(sd, d, metric_diff)
+                keep_top_k(sd, d, metric_diff, split)
+            if softmax_select and not stop:
+                from .softmax import softmax_kernel_selection
+
+                infos = [(v["bic"], k) for k, v in sd.items()]
+                chosen = softmax_kernel_selection(
+                    [b for b, _ in infos], [k for _, k in infos], rng
+                )
+                for k, v in sd.items():
+                    if v["depth"] == d and k != chosen:
+                        v["try_next"] = False
             if prune:
                 prune_cands.extend(collect_prune(o, d))
             if stop:
