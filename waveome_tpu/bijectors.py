@@ -21,6 +21,11 @@ def softplus(x):
     return nn.softplus(x)
 
 
+def softplus_grad(x):
+    """d softplus / dx = sigmoid(x)."""
+    return nn.sigmoid(x)
+
+
 def softplus_inv(y):
     """positive() inverse: log(exp(y) - 1) = y + log1p(-exp(-y))."""
     y = jnp.asarray(y)

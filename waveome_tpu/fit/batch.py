@@ -150,7 +150,14 @@ def fit_outcomes_penalized(
         return res._replace(component_mask=cm, factor_mask=fm,
                             importances=imp)
 
-    fit_fn = jax.jit(jax.vmap(fit_stage, in_axes=(0, 0, None, None)))
+    # exp-link likelihoods get the per-outcome GLM mean init (see the
+    # segmented branch above for why); p0 is then vmapped over outcomes
+    exp_link = config.likelihood.name in (
+        "poisson", "gamma", "exponential", "negative_binomial",
+        "zeroinflated_negativebinomial",
+    )
+    p0_axis = 0 if exp_link else None
+    fit_fn = jax.jit(jax.vmap(fit_stage, in_axes=(0, 0, None, p0_axis)))
     fin_fn = jax.jit(jax.vmap(finalize_stage, in_axes=(0, 0, None)))
 
     def fn(ys, keys, X_dev, p0_dev):
@@ -158,6 +165,18 @@ def fit_outcomes_penalized(
         return fin_fn(res, ys, X_dev)
     X_dev = jnp.asarray(X_np, dtype=dtype)
     p0_dev = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), params0)
+    if exp_link:
+        def batch_p0(ys_cols):
+            ybar = jnp.maximum(jnp.mean(ys_cols, axis=1), 1e-6)
+            p0b = jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a, (ys_cols.shape[0],) + a.shape), p0_dev)
+            p0b = dict(p0b)
+            p0b["mean_c"] = jnp.log(ybar)[:, None].astype(dtype)
+            return p0b
+    else:
+        def batch_p0(ys_cols):
+            return p0_dev
 
     if use_mesh and len(devices or jax.devices()) > 1:
         m = meshlib.outcome_mesh(devices)
@@ -173,13 +192,13 @@ def fit_outcomes_penalized(
         keys = meshlib.shard_leading_axis(keys, m)
         X_dev = meshlib.replicate(X_dev, m)
         p0_dev = meshlib.replicate(p0_dev, m)
-        results = fn(Ys_cols, keys, X_dev, p0_dev)
+        results = fn(Ys_cols, keys, X_dev, batch_p0(Ys_cols))
         results = jax.tree.map(lambda a: a[:B], results)
     else:
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
         Ys_dev = jnp.asarray(Ys_np.T, dtype=dtype)
         if device_chunk is None or device_chunk >= B:
-            results = fn(Ys_dev, keys, X_dev, p0_dev)
+            results = fn(Ys_dev, keys, X_dev, batch_p0(Ys_dev))
         else:
             # Bounded-duration device calls: some remote-TPU transports
             # kill long-running single executions. Outcomes are
@@ -197,7 +216,8 @@ def fit_outcomes_penalized(
             parts = []
             for lo in range(0, B_pad, chunk):
                 parts.append(fn(Ys_dev[lo:lo + chunk],
-                                keys[lo:lo + chunk], X_dev, p0_dev))
+                                keys[lo:lo + chunk], X_dev,
+                                batch_p0(Ys_dev[lo:lo + chunk])))
             results = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0)[:B], *parts
             )
@@ -353,9 +373,36 @@ def _segmented_gaussian_fit(
 
     if not gaussian:
         # joint-(q, θ) Adam+NatGrad segments (the reference's optimizer
-        # for large parameter sets, model_classes.py:344-470)
+        # for large parameter sets, model_classes.py:344-470).
+        # Per-outcome GLM-style mean init: for exp-link likelihoods the
+        # constant mean starts at log(mean(y)) instead of 0 — at real
+        # count scales (iHMP intensities ~1e10) a zero init puts the
+        # model mean e^14 away from the data, the first NatGrad step
+        # explodes, and the NaN rollback silently freezes the fit at its
+        # initial parameters (observed on the real metabolome; classic
+        # GLM initialization fixes it at the root).
+        exp_link = config.likelihood.name in (
+            "poisson", "gamma", "exponential", "negative_binomial",
+            "zeroinflated_negativebinomial",
+        )
+        if exp_link:
+            ybar = np.maximum(Ys_np.T.mean(axis=1), 1e-6)  # (B_pad,)
+            mean0 = np.log(ybar).astype(np.dtype(dtype))
+            p0b_np = jax.tree.map(
+                lambda a: np.broadcast_to(
+                    np.asarray(a), (B_pad,) + np.asarray(a).shape).copy(),
+                jax.tree.map(np.asarray, p0_dev),
+            )
+            p0b_np["mean_c"] = mean0[:, None]
+            p0_batched = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype=dtype), p0b_np)
+            if mesh is not None:
+                p0_batched = meshlib.shard_leading_axis(p0_batched, mesh)
+        else:
+            p0_batched = None
         res = run_segments(
-            _seg_adam_fns(config, np.dtype(dtype).name), None, max_iter,
+            _seg_adam_fns(config, np.dtype(dtype).name), p0_batched,
+            max_iter,
         )
     elif iterative:
         # Two-phase: most iterations ride the cheap matmul-only surrogate,
@@ -474,23 +521,34 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
     # a sequential linesearch costs every member the slowest member's
     # trial count (optimize/plbfgs.py). Same losses/masks as the zoom
     # variant on this objective.
+    # line-search trials route through the forward-only Pallas gram on
+    # eligible shapes (default ON; kernels/gram.py forward_pallas) — the
+    # gradient evaluation keeps the plain XLA gram
+    from ..kernels.gram import forward_pallas
+
     def first_seg(y, factor, bound, data):
         X, p0, probes = data
-        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+        loss = make_loss(y, factor, X, probes)
+        return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
+                          trial_loss_fn=forward_pallas(loss),
                           return_carry=True)
 
     def next_seg(carry, y, factor, bound, data):
         X, p0, probes = data
-        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+        loss = make_loss(y, factor, X, probes)
+        return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
+                          trial_loss_fn=forward_pallas(loss),
                           carry=carry, return_carry=True)
 
     def first_seg_b(y, factor, bound, p0, data):
         # per-outcome start params (phase handoff between objectives)
         X, _, probes = data
-        return plbfgs_fit(make_loss(y, factor, X, probes), p0,
+        loss = make_loss(y, factor, X, probes)
+        return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
+                          trial_loss_fn=forward_pallas(loss),
                           return_carry=True)
 
     first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))

@@ -70,8 +70,13 @@ def deviance_logliks(
         base = bern(Y, jnp.mean(Y) if base_mu is None else base_mu)
         mod = bern(Y, model_mu)
     elif name in ("negative_binomial", "zeroinflated_negativebinomial"):
-        # utilities.py:559-581 (ZINB falls back to the NB deviance with the
-        # same alpha, matching the reference's likelihood-name dispatch)
+        # utilities.py:559-581. NOTE (documented quirk): ZINB deviance
+        # reuses the plain-NB formula with the ZINB's alpha — i.e. the
+        # zero-inflation mass ψ is IGNORED, so ZINB deviances/importances
+        # are computed under the wrong zero probability. This reproduces
+        # the reference's behavior exactly (its likelihood-name dispatch
+        # does the same, utilities.py:559); kept for score parity rather
+        # than corrected. See docs/PARITY_NOTES.md.
         alpha = lik_params[0]
         sat = nb_log_prob(Y + 1e-6, Y, alpha)
         bm = (

@@ -57,6 +57,36 @@ from .spec import KernelSpec
 _PALLAS_GRAM = os.environ.get("WAVEOME_PALLAS_GRAM", "0") == "1"
 _PALLAS_MIN_N = 256
 
+# Trace-time forward-only dispatch (the DEFAULT-ON production path): while
+# a function wrapped in ``forward_pallas`` is being traced, eligible gram
+# calls go straight to the Pallas kernel with NO custom_vjp wrapper.
+# The optimizer hot loop evaluates 4 line-search trials (pure forwards)
+# per single gradient, so routing just the trials through Pallas captures
+# most of the fused-kernel win while the gradient evaluation keeps the
+# plain XLA gram — sidestepping the custom_vjp-under-vmapped-while_loop
+# composition entirely (both the XLA-replay and the analytic backward
+# reproduce the first-post-step-gradient NaN; see _PALLAS_GRAM note).
+_PALLAS_FORWARD_CTX = False
+_PALLAS_FORWARD_OFF = (
+    os.environ.get("WAVEOME_PALLAS_TRIALS", "1") == "0"
+)
+
+
+def forward_pallas(fn):
+    """Wrap ``fn`` so gram calls traced inside it use the forward-only
+    Pallas dispatch (trace-time flag: the wrapped function must only be
+    used where no gradients flow through it, e.g. line-search trials)."""
+    def wrapped(*args, **kwargs):
+        global _PALLAS_FORWARD_CTX
+        old = _PALLAS_FORWARD_CTX
+        _PALLAS_FORWARD_CTX = True
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _PALLAS_FORWARD_CTX = old
+
+    return wrapped
+
 
 def constrain(raw):
     """Raw (C,F,P) → constrained positive params (gpflow positive())."""
@@ -64,7 +94,8 @@ def constrain(raw):
 
 
 def _pallas_eligible(spec, X1, X2, factor_mask) -> bool:
-    if not _PALLAS_GRAM or factor_mask is not None:
+    forward_ctx = _PALLAS_FORWARD_CTX and not _PALLAS_FORWARD_OFF
+    if not (_PALLAS_GRAM or forward_ctx) or factor_mask is not None:
         return False
     if X1.dtype != jnp.float32:
         return False
@@ -100,6 +131,12 @@ def gram(
     if X2 is None:
         X2 = X1
     if _pallas_eligible(spec, X1, X2, factor_mask):
+        if _PALLAS_FORWARD_CTX and not _PALLAS_FORWARD_OFF:
+            # forward-only context (line-search trials): bare Pallas
+            # kernel, no custom_vjp — nothing differentiates through it
+            from ..pallas_ops.gram_pallas import gram_pallas
+
+            return gram_pallas(spec, raw, X1, X2, component_mask)
         from ..pallas_ops.gram_pallas import gram_fused
 
         return gram_fused(spec, raw, X1, X2, component_mask)

@@ -27,6 +27,7 @@ program regardless of which kernels the latents use.
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -313,29 +314,49 @@ def lmc_training_loss(config, params, X, Y, coded=None, latent_mask=None,
     return loss + constraint_weight * sign_penalty, loss
 
 
-def _lmc_loop_runner(
+def _lmc_init_carry(config: LMCConfig, params0: dict,
+                    adam_learning_rate: float):
+    """Host-side optimizer-loop carry for ``params0`` (pairs with the
+    cached steppers of ``_lmc_run_fns``)."""
+    dtype = params0["W"].dtype
+    opt = optax.adam(adam_learning_rate)
+    return (
+        jax.tree.map(np.asarray, params0),
+        jax.tree.map(np.asarray, opt.init(params0)),
+        jax.tree.map(np.asarray, params0),
+        np.asarray(np.inf, dtype=dtype), np.asarray(0), np.asarray(0),
+        np.asarray(False),
+    )
+
+
+@lru_cache(maxsize=32)
+def _lmc_run_fns(
     config: LMCConfig,
-    params0: dict,
+    dtype_name: str,
     num_opt_iter: int,
     adam_learning_rate: float,
     nat_gradient_gamma: float,
     constraint_weight: float,
     patience: int,
 ):
-    """Build (init_carry, run_one) for the LMC optimizer loop
-    (model_classes.py:1502-1612) as one lax.while_loop: Adam
-    (grad-norm-clipped) on non-variational params + NatGrad on each
-    latent's (q_mu, q_sqrt); patience early stop; NaN rollback to 100-iter
-    checkpoints.
+    """Jitted LMC loop steppers, cached on the static configuration.
 
-    ``run_one(carry, data)`` with ``data = (X, Y, coded, lam, w)`` — λ and
-    the (N,) fold weights are traced, so λ grids and CV folds batch as
-    vmapped axes over one compiled program. Finished cells freeze their
-    state, so per-cell early stopping survives vmap."""
-    dtype = params0["W"].dtype
+    Module-level + lru_cache: ``jax.jit`` of a closure built inside
+    ``fit_lmc``/``fit_lmc_cells`` re-traces and re-lowers the whole
+    2000-iteration while_loop program on EVERY call (minutes each on CPU
+    even with a warm persistent compile cache) — the round-2 suite's
+    dominant cost. Returns ``(run_single, run_cells)``:
+    ``run_single(carry, data)`` and ``run_cells(lams, weight_rows, carry,
+    X, Y, coded)`` with ``data = (X, Y, coded, lam, w)``.
+    """
+    dtype = jnp.dtype(dtype_name)
+    M, D = config.num_inducing, config.input_dim
+    params0 = init_lmc_params(
+        config, np.zeros((max(M, 1), D)), dtype=dtype,
+    )
 
     # frozen latent variances (model_classes.py:1380-1383): adam mask
-    kmask = np.ones(params0["kernel_raw"].shape, dtype=bool)
+    kmask = np.ones(np.asarray(params0["kernel_raw"]).shape, dtype=bool)
     for qi, s in enumerate(config.latent_specs):
         sp = s.padded(1, params0["kernel_raw"].shape[2])
         m = np.array(sp.train_mask())
@@ -430,18 +451,17 @@ def _lmc_loop_runner(
         *_, it, done = carry
         return (it < num_opt_iter) & ~done
 
-    init = (
-        jax.tree.map(np.asarray, params0),
-        jax.tree.map(np.asarray, opt.init(params0)),
-        jax.tree.map(np.asarray, params0),
-        np.asarray(np.inf, dtype=dtype), np.asarray(0), np.asarray(0),
-        np.asarray(False),
-    )
-
     def run_one(carry, data):
         return jax.lax.while_loop(cond, lambda cc: body(cc, data), carry)
 
-    return init, run_one
+    def one_cell(lam, w, carry, Xd, Yd, coded):
+        out = run_one(carry, (Xd, Yd, coded, lam, w))
+        return out[0], out[3]  # params, best data loss
+
+    run_single = jax.jit(run_one)
+    run_cells = jax.jit(jax.vmap(one_cell,
+                                 in_axes=(0, 0, None, None, None, None)))
+    return run_single, run_cells
 
 
 def fit_lmc(
@@ -468,10 +488,11 @@ def fit_lmc(
     Y_np = np.asarray(Y, dtype=np.float64)
     coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
-    init, run_one = _lmc_loop_runner(
-        config, params0, num_opt_iter, adam_learning_rate,
+    run, _ = _lmc_run_fns(
+        config, np.dtype(dtype).name, num_opt_iter, adam_learning_rate,
         nat_gradient_gamma, constraint_weight, patience,
     )
+    init = _lmc_init_carry(config, params0, adam_learning_rate)
 
     lam = (config.penalization_factor if penalization_factor is None
            else penalization_factor)
@@ -483,7 +504,6 @@ def fit_lmc(
         jnp.asarray(lam, dtype=dtype),
         jnp.asarray(w, dtype=dtype),
     )
-    run = jax.jit(run_one)
     p, _, _, best_loss, _, it, _ = run(init, data)
     return p, float(best_loss), int(it)
 
@@ -512,16 +532,11 @@ def fit_lmc_cells(
     Y_np = np.asarray(Y, dtype=np.float64)
     coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
-    init, run_one = _lmc_loop_runner(
-        config, params0, num_opt_iter, adam_learning_rate,
+    _, run = _lmc_run_fns(
+        config, np.dtype(dtype).name, num_opt_iter, adam_learning_rate,
         nat_gradient_gamma, constraint_weight, patience,
     )
-
-    def one(lam, w, carry, Xd, Yd, coded):
-        out = run_one(carry, (Xd, Yd, coded, lam, w))
-        return out[0], out[3]  # params, best data loss
-
-    run = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, None)))
+    init = _lmc_init_carry(config, params0, adam_learning_rate)
     params_k, losses_k = run(
         jnp.asarray(np.asarray(lams), dtype=dtype),
         jnp.asarray(np.asarray(weight_rows), dtype=dtype),
@@ -591,6 +606,13 @@ def fit_multioutput(
         penalization_factor=penalization_factor, verbose=verbose,
     )
     params0 = init_lmc_params(config, X, seed=random_seed or 0)
+    if config.likelihood.name in ("poisson", "gamma", "exponential",
+                                  "negative_binomial",
+                                  "zeroinflated_negativebinomial"):
+        # GLM-style mean init at the data scale (see fit/batch.py)
+        ybar = max(float(np.mean(np.asarray(Y))), 1e-6)
+        params0["mean_c"] = jnp.full((1,), np.log(ybar),
+                                     dtype=params0["mean_c"].dtype)
     params, loss, iters = fit_lmc(
         config, params0, X, Y,
         num_opt_iter=num_opt_iter,

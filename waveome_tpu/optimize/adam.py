@@ -116,7 +116,17 @@ def adam_natgrad_fit(
             bad = ~jnp.isfinite(cur)
             # rollback on NaN (model_classes.py:425-429)
             flat = jnp.where(bad, snapshot, flat)
-            converged = (last_loss - cur) < convergence_threshold
+            # f32 only: scale-relative threshold — at |loss| ~ 1e9 (real
+            # count data) an absolute 1e-9 test is satisfied by ULP
+            # quantization alone and freezes the fit after one check.
+            # f64 keeps the reference's absolute threshold
+            # (model_classes.py:434-447 semantics).
+            if flat0.dtype == jnp.float32:
+                thresh = convergence_threshold * jnp.maximum(
+                    1.0, jnp.abs(cur))
+            else:
+                thresh = convergence_threshold
+            converged = (last_loss - cur) < thresh
             done = bad | converged
             return flat, jnp.where(bad, snapshot, flat), cur, done
 

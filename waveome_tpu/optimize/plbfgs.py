@@ -109,6 +109,7 @@ def plbfgs_fit(
     ftol: float = 1e-6,
     patience: int = 8,
     min_iter: int = 0,
+    trial_loss_fn: Optional[Callable] = None,
 ):
     """Minimize ``loss_fn(params)`` over the masked free subset.
 
@@ -134,6 +135,12 @@ def plbfgs_fit(
     dtype = flat0.dtype
     big = jnp.asarray(1e15, dtype=dtype)
 
+    # ``trial_loss_fn``: optional cheaper/fused evaluation used ONLY for
+    # the (never-differentiated) line-search trial values — e.g. the
+    # forward-only Pallas gram objective; the gradient always evaluates
+    # ``loss_fn``
+    tfn = trial_loss_fn if trial_loss_fn is not None else loss_fn
+
     if static_subset:
         mask_np = np.concatenate([
             np.asarray(leaf).reshape(-1) for leaf in jax.tree.leaves(mask)
@@ -142,20 +149,26 @@ def plbfgs_fit(
         free_idx = jnp.asarray(np.nonzero(mask_np)[0])
         d = int(mask_np.sum())
 
-        def f(xfree):
-            merged = flat0.at[free_idx].set(xfree)
-            v = loss_fn(unravel(merged))
-            return jnp.where(jnp.isfinite(v), v, big)
+        def make_f(inner):
+            def f(xfree):
+                merged = flat0.at[free_idx].set(xfree)
+                v = inner(unravel(merged))
+                return jnp.where(jnp.isfinite(v), v, big)
+            return f
     else:
         mask_flat, _ = ravel_pytree(mask)
         free_idx = None
         d = flat0.shape[0]
 
-        def f(x):
-            merged = jnp.where(mask_flat, x, flat0)
-            v = loss_fn(unravel(merged))
-            return jnp.where(jnp.isfinite(v), v, big)
+        def make_f(inner):
+            def f(x):
+                merged = jnp.where(mask_flat, x, flat0)
+                v = inner(unravel(merged))
+                return jnp.where(jnp.isfinite(v), v, big)
+            return f
 
+    f = make_f(loss_fn)
+    f_trial = make_f(tfn) if trial_loss_fn is not None else f
     grad_f = jax.grad(f)
     trials = jnp.asarray(_TRIALS, dtype=dtype)
 
@@ -170,7 +183,7 @@ def plbfgs_fit(
         slope = state.g @ direction
 
         steps = state.stepsize * trials
-        fs = jax.vmap(lambda t: f(state.x + t * direction))(steps)
+        fs = jax.vmap(lambda t: f_trial(state.x + t * direction))(steps)
         armijo = fs <= state.f_val + armijo_c1 * steps * slope
         any_ok = jnp.any(armijo)
         fs_sel = jnp.where(any_ok, jnp.where(armijo, fs, big), fs)

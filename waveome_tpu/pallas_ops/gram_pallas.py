@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -190,9 +191,16 @@ def spec_supported(spec: KernelSpec) -> bool:
 def _fused_fn(spec: KernelSpec, use_mask: bool):
     """custom_vjp gram: the Pallas kernel evaluates the forward tilewise in
     VMEM (the hot line-search path evaluates MANY more forwards than
-    gradients), while the backward replays the pure-XLA gram's VJP —
-    mathematically exact, no hand-written derivative kernels to drift."""
+    gradients); the backward is the HAND-DERIVED analytic ∂K/∂raw
+    (gram_vjp_analytic — verified exact vs jax.vjp(gram_xla) in
+    tests/test_pallas_gram.py). Round 2 replayed the XLA gram's VJP via a
+    nested jax.vjp inside bwd; that composition produced NaN first
+    post-step gradients inside the vmapped plbfgs while_loop — the
+    analytic backward removes the nested-vjp structure entirely.
+    Set WAVEOME_PALLAS_BWD=replay to A/B the old backward."""
     from ..kernels.gram import gram_xla as _xla_gram
+
+    replay = os.environ.get("WAVEOME_PALLAS_BWD", "analytic") == "replay"
 
     def _primal(raw, X1, X2, component_mask):
         return gram_pallas(spec, raw, X1, X2,
@@ -208,14 +216,23 @@ def _fused_fn(spec: KernelSpec, use_mask: bool):
 
     def bwd(res, cot):
         raw, X1, X2, component_mask = res
-        _, vjp = jax.vjp(
-            lambda r: _xla_gram(spec, r, X1, X2,
-                                component_mask if use_mask else None),
-            raw,
-        )
-        (draw,) = vjp(cot)
+        if replay:
+            _, vjp = jax.vjp(
+                lambda r: _xla_gram(spec, r, X1, X2,
+                                    component_mask if use_mask else None),
+                raw,
+            )
+            (draw,) = vjp(cot)
+            dmask = (jnp.zeros_like(component_mask) if use_mask else None)
+        else:
+            draw, dmask = gram_vjp_analytic(
+                spec, raw, X1, X2,
+                component_mask if use_mask else None, cot,
+            )
+            if use_mask and dmask is None:
+                dmask = jnp.zeros_like(component_mask)
         return (draw, jnp.zeros_like(X1), jnp.zeros_like(X2),
-                jnp.zeros_like(component_mask) if use_mask else None)
+                dmask if use_mask else None)
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -227,3 +244,158 @@ def gram_fused(spec: KernelSpec, raw, X1, X2=None, component_mask=None):
         X2 = X1
     fn = _fused_fn(spec, component_mask is not None)
     return fn(raw, X1, X2, component_mask)
+
+
+# ---------------------------------------------------------------------------
+# analytic backward: hand-derived ∂K/∂raw, no nested jax.vjp
+# ---------------------------------------------------------------------------
+
+def _factor_tile_grads(prim, p, x1, x2):
+    """(tile, {slot: ∂tile/∂p[slot]}) for one primitive — derivative
+    formulas mirror kernels/ops.py with the same ls-floor/exp-clip safety.
+    """
+    op = prim.op
+    v = p[0]
+    dt = {}
+    if op == "constant":
+        t = jnp.full((x1.shape[0], x2.shape[0]), v, dtype=x1.dtype)
+        dt[0] = jnp.ones_like(t)
+        return t, dt
+    if op == "categorical":
+        eq = (jnp.round(x1)[:, None] == jnp.round(x2)[None, :]).astype(
+            x1.dtype)
+        return v * eq, {0: eq}
+    if op == "linear":
+        xx = x1[:, None] * x2[None, :]
+        return v * xx, {0: xx}
+    if op == "polynomial":
+        xx = x1[:, None] * x2[None, :]
+        base = v * xx + p[2]
+        d = prim.degree
+        t = base ** d
+        dbase = d * base ** (d - 1)
+        return t, {0: dbase * xx, 2: dbase}
+    d = x1[:, None] - x2[None, :]
+    if op == "squared_exponential":
+        ls = jnp.maximum(p[1], 1e-10)
+        u = jnp.minimum(0.5 * d * d / (ls * ls), 80.0)
+        E = jnp.exp(-u)
+        t = v * E
+        # clipped region: du/dls = 0 there too (u constant), consistent
+        dls = jnp.where(u < 80.0, t * (d * d) / (ls ** 3), 0.0)
+        return t, {0: E, 1: dls}
+    if op == "matern12":
+        ls = jnp.maximum(p[1], 1e-10)
+        r = jnp.minimum(jnp.abs(d) / ls, 80.0)
+        E = jnp.exp(-r)
+        t = v * E
+        dls = jnp.where(r < 80.0, t * r / ls, 0.0)
+        return t, {0: E, 1: dls}
+    if op == "matern32":
+        ls = jnp.maximum(p[1], 1e-10)
+        r = math.sqrt(3.0) * jnp.abs(d) / ls
+        rc = jnp.minimum(r, 80.0)
+        E = jnp.exp(-rc)
+        t = v * (1.0 + r) * E
+        # d/dls[v(1+r)e^{-r}] with dr/dls = -r/ls  →  v r² e^{-r} / ls
+        dls = jnp.where(r < 80.0, v * r * r * E / ls, 0.0)
+        return t, {0: (1.0 + r) * E, 1: dls}
+    if op == "matern52":
+        ls = jnp.maximum(p[1], 1e-10)
+        r = math.sqrt(5.0) * jnp.abs(d) / ls
+        rc = jnp.minimum(r, 80.0)
+        E = jnp.exp(-rc)
+        f = 1.0 + r + r * r / 3.0
+        t = v * f * E
+        # d/dr[f e^{-r}] = -(r(1+r)/3) e^{-r}; dr/dls = -r/ls
+        dls = jnp.where(r < 80.0, v * r * r * (1.0 + r) / (3.0 * ls) * E,
+                        0.0)
+        return t, {0: f * E, 1: dls}
+    if op == "periodic":
+        ls = jnp.maximum(p[1], 1e-10)
+        per = jnp.maximum(p[2], 1e-10)
+        ang = math.pi * d / per
+        s = jnp.sin(ang) / ls
+        u = jnp.minimum(2.0 * s * s, 80.0)
+        E = jnp.exp(-u)
+        t = v * E
+        live = u < 80.0
+        # du/dls = -4s²/ls ; du/dper = 4s·cos(ang)·(-π d/per²)/ls
+        dls = jnp.where(live, t * 4.0 * s * s / ls, 0.0)
+        dper = jnp.where(
+            live,
+            t * 4.0 * s * jnp.cos(ang) * math.pi * d / (per * per * ls),
+            0.0,
+        )
+        return t, {0: E, 1: dls, 2: dper}
+    if op == "rational_quadratic":
+        ls = jnp.maximum(p[1], 1e-10)
+        a = p[2]
+        u = 1.0 + d * d / (2.0 * a * ls * ls)
+        t = v * u ** (-a)
+        dls = v * u ** (-a - 1.0) * (d * d) / (ls ** 3)
+        da = t * (-jnp.log(u)) + v * u ** (-a - 1.0) * (d * d) / (
+            2.0 * a * ls * ls)
+        return t, {0: u ** (-a), 1: dls, 2: da}
+    raise NotImplementedError(f"analytic gram bwd: op {op}")
+
+
+def gram_vjp_analytic(spec: KernelSpec, raw, X1, X2, component_mask, cot):
+    """∂⟨cot, K⟩/∂raw, hand-derived (no nested jax.vjp).
+
+    Also returns the component-mask cotangent ⟨cot, Π_f t_cf⟩ per
+    component. X1/X2 cotangents are NOT computed (the fused dispatch is
+    only eligible on paths where inputs are untrained — kernels/gram.py
+    _pallas_eligible excludes the trainable-Z sparse case by N >= 256).
+    """
+    from ..bijectors import softplus_grad
+
+    spec_p = spec.padded()
+    params = constrain(raw)
+    draw = jnp.zeros_like(raw)
+    dmask = ([] if component_mask is not None else None)
+    for i, comp in enumerate(spec_p.components):
+        tiles, grads, idxs = [], [], []
+        for j, prim in enumerate(comp):
+            if prim.op == "empty":
+                continue
+            t, dt = _factor_tile_grads(prim, params[i, j],
+                                       X1[:, prim.dim], X2[:, prim.dim])
+            tiles.append(t)
+            grads.append(dt)
+            idxs.append(j)
+        if not tiles:
+            if dmask is not None:
+                dmask.append(jnp.zeros((), dtype=raw.dtype))
+            continue
+        F = len(tiles)
+        # leave-one-out products via prefix/suffix (no division by zero)
+        prefix = [None] * F
+        suffix = [None] * F
+        acc = None
+        for f in range(F):
+            prefix[f] = acc
+            acc = tiles[f] if acc is None else acc * tiles[f]
+        full = acc
+        acc = None
+        for f in range(F - 1, -1, -1):
+            suffix[f] = acc
+            acc = tiles[f] if acc is None else tiles[f] * acc
+        mscale = (component_mask[i] if component_mask is not None
+                  else jnp.asarray(1.0, dtype=raw.dtype))
+        Gm = cot * mscale
+        for f in range(F):
+            loo = None
+            if prefix[f] is not None:
+                loo = prefix[f]
+            if suffix[f] is not None:
+                loo = suffix[f] if loo is None else loo * suffix[f]
+            w = Gm if loo is None else Gm * loo
+            for slot, dt in grads[f].items():
+                draw = draw.at[i, idxs[f], slot].add(jnp.sum(w * dt))
+        if dmask is not None:
+            dmask.append(jnp.sum(cot * full))
+    draw = draw * softplus_grad(raw)
+    if dmask is not None:
+        return draw, jnp.stack(dmask)
+    return draw, None

@@ -46,8 +46,12 @@ def distributed_init(
     run with no coordinator (no-op).
     """
     import jax
+    from jax._src import distributed as _dist
 
-    if jax.process_count() > 1:
+    # NOTE: jax.process_count() would itself initialize the backend,
+    # which forbids a later distributed.initialize — inspect the
+    # distributed global state instead
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     auto_env = any(v in os.environ for v in (
         "COORDINATOR_ADDRESS", "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",

@@ -95,13 +95,25 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
         }
         p0 = {k: v for k, v in tmpl.items()}
         p0["kernel_raw"] = raw_i
+        # exp-link likelihoods: GLM-style mean init at the data scale
+        # (log ȳ) — at real count scales a zero init explodes the first
+        # NatGrad step and the NaN rollback freezes the candidate fit
+        exp_link = config.likelihood.name in (
+            "poisson", "gamma", "exponential", "negative_binomial",
+            "zeroinflated_negativebinomial",
+        )
+        if exp_link:
+            mean0 = jnp.log(jnp.maximum(jnp.mean(Y), 1e-6))[None]
+            p0["mean_c"] = mean0.astype(dtype)
         if randomize:
             k1, k2, k4 = jax.random.split(key, 3)
             p0["kernel_raw"] = jnp.where(
                 mask["kernel_raw"],
                 jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i
             )
-            p0["mean_c"] = jax.random.normal(k2, (1,), dtype=dtype)
+            jitter_c = jax.random.normal(k2, (1,), dtype=dtype)
+            p0["mean_c"] = (p0["mean_c"] + jitter_c if exp_link
+                            else jitter_c)
             p0["q_sqrt_raw"] = jnp.diag(
                 jax.random.exponential(k4, (M,), dtype=dtype)
             )
