@@ -170,10 +170,11 @@ def main():
                 "IHMP_CKPT", os.path.join(OUT_DIR, "ckpt")),
             "chunk_size": 128,
         },
-        # bounded per-component deviance share: the log-BF scale is
-        # astronomical for NB outcomes at intensity ~1e10 (leave-one-out
-        # means sit e^Δ away under the exp link) and f32-quantizes
-        importance_type="deviance",
+        # reference default: per-component log Bayes factor
+        # (calc_feature_importance_components, utilities.py:676-679) —
+        # computed from POINTWISE log-lik differences so the scores stay
+        # precise at f32 with intensities ~1e10 (interpret/importance.py)
+        importance_type="log_bf",
         verbose=True,
     )
     wall_min = (time.time() - t0) / 60.0
@@ -249,7 +250,7 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
 
-        fig = gps.plot_heatmap(var_cutoff=0.2, figsize=(14, 18))
+        fig = gps.plot_heatmap(var_cutoff=2.0, figsize=(14, 18))
         fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
                     bbox_inches="tight")
         print("saved heatmap.png")

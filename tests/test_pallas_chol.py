@@ -1,0 +1,36 @@
+"""Pallas batched Cholesky kernel: correctness vs jnp.linalg.cholesky
+(interpret mode on CPU; the same kernel body runs compiled on TPU —
+measured there in tools/chol_bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from waveome_tpu.pallas_ops.chol_pallas import chol_supported, cholesky_pallas
+
+
+def test_cholesky_pallas_matches_xla():
+    rng = np.random.default_rng(0)
+    # 140 exercises the identity padding; interpret mode makes the
+    # unrolled recurrence slow, so sizes stay small here (the production
+    # N=500 shape is chip-verified in tools/chol_bench.py: rel err 9e-5)
+    for N in (128, 140):
+        B = 3
+        A = rng.normal(size=(B, N, N)).astype(np.float32)
+        K = A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N,
+                                                        dtype=np.float32)
+        L = np.asarray(cholesky_pallas(jnp.asarray(K)))
+        want = np.linalg.cholesky(K)
+        assert np.max(np.abs(L - want)) / np.max(np.abs(want)) < 1e-4
+        # strictly lower triangular output
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_cholesky_pallas_unbatched_and_support():
+    rng = np.random.default_rng(1)
+    N = 128
+    A = rng.normal(size=(N, N)).astype(np.float32)
+    K = A @ A.T + N * np.eye(N, dtype=np.float32)
+    L = np.asarray(cholesky_pallas(jnp.asarray(K)))
+    assert np.allclose(L @ L.T, K, rtol=1e-3, atol=1e-1)
+    assert chol_supported(500) and chol_supported(1024)
+    assert not chol_supported(64) and not chol_supported(2048)

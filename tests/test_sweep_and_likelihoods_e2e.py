@@ -33,12 +33,16 @@ def test_sweep_chunks_and_resume(tmp_path):
         num_factor_iter=0, max_iter=100, verbose=False,
     )
     assert len(res) == B
-    # resume: nothing left to do, returns empty increment
+    # resume: nothing left to FIT, but already-persisted outcomes are
+    # rehydrated from the checkpoint (so GPSearch sweep-mode callers get
+    # complete model tables after a restart)
     res2 = run_penalized_sweep(
         X, Ys, spec, checkpoint_dir=ckdir, chunk_size=2,
         num_factor_iter=0, max_iter=100, verbose=False,
     )
-    assert res2 == {}
+    assert set(res2) == set(res)
+    np.testing.assert_allclose(res2["y0"]["importances"],
+                               res["y0"]["importances"])
     # persisted params can be reloaded
     from waveome_tpu.checkpoint import SweepCheckpoint
 

@@ -46,16 +46,23 @@ def feature_importance(
                                 factor_mask=factor_mask)
     null_lls, mod_lls, sat_lls = deviance_logliks(lik, lik_p, Y, full_mu)
 
-    # full-model deviance explained (utilities.py:641-649)
-    s_sat, s_mod, s_null = (jnp.sum(sat_lls), jnp.sum(mod_lls),
-                            jnp.sum(null_lls))
-    ordered = (s_sat >= s_mod) & (s_mod >= s_null)
+    # PRECISION NOTE: all scores below are built from POINTWISE log-lik
+    # differences summed, never from differences of separately-summed
+    # totals. At the real iHMP intensity scale (Y ~ 1e10, f32 on chip)
+    # per-point lls can be ~1e6, so summed totals (~1e9) quantize at ULP
+    # ~64-65536 and sum-then-subtract destroys the scores — the round-3
+    # real-data run produced exact powers of two. Pointwise differences
+    # carry per-point error ~|ll_n|·eps instead of ~|Σll|·eps.
+    d_sat = jnp.sum(sat_lls - mod_lls)   # ≥ 0: saturated minus model
+    d_null = jnp.sum(mod_lls - null_lls)  # ≥ 0 when model beats null
+
+    # full-model deviance explained (utilities.py:641-649):
+    # 1 − (sat−mod)/(sat−null) with sat−null = d_sat + d_null
+    ordered = (d_sat >= 0) & (d_null >= 0)
     full_de = jnp.where(
         ordered,
-        jnp.clip(
-            1.0 - (-2.0 * (s_mod - s_sat)) / (-2.0 * (s_null - s_sat)),
-            0.0, 1.0,
-        ),
+        jnp.clip(1.0 - d_sat / jnp.maximum(d_sat + d_null, 1e-30),
+                 0.0, 1.0),
         0.0,
     )
 
@@ -64,18 +71,16 @@ def feature_importance(
         mu, _ = svgp.predict_y(config, params, X, component_mask=mask,
                                factor_mask=factor_mask)
         _, sub_lls, _ = deviance_logliks(lik, lik_p, Y, mu)
-        return jnp.sum(sub_lls)
+        return jnp.sum(mod_lls - sub_lls)  # pointwise difference
 
-    sub_sums = jax.vmap(leave_out)(jnp.arange(C))
+    d_sub = jax.vmap(leave_out)(jnp.arange(C))  # (C,) = s_mod − sub_sums
 
     if return_value == "statistic":
-        vals = jnp.maximum(
-            jnp.round(-2.0 * (sub_sums - s_mod), 1), 0.0
-        )
+        vals = jnp.maximum(jnp.round(2.0 * d_sub, 1), 0.0)
     elif return_value == "log_bf":
-        vals = jnp.round(s_mod - sub_sums, 1)
+        vals = jnp.round(d_sub, 1)
     else:  # deviance explained per component (utilities.py:680-685)
-        de = 1.0 - (-2.0 * (sub_sums - s_mod)) / (-2.0 * (s_null - s_mod))
+        de = 1.0 - d_sub / jnp.maximum(d_null, 1e-30)
         vals = jnp.round(jnp.clip(de, 0.0, 1.0), 3)
 
     vals = jnp.where(component_mask > 0, vals, 0.0)

@@ -57,18 +57,25 @@ from .spec import KernelSpec
 _PALLAS_GRAM = os.environ.get("WAVEOME_PALLAS_GRAM", "0") == "1"
 _PALLAS_MIN_N = 256
 
-# Trace-time forward-only dispatch (the DEFAULT-ON production path): while
-# a function wrapped in ``forward_pallas`` is being traced, eligible gram
-# calls go straight to the Pallas kernel with NO custom_vjp wrapper.
-# The optimizer hot loop evaluates 4 line-search trials (pure forwards)
-# per single gradient, so routing just the trials through Pallas captures
-# most of the fused-kernel win while the gradient evaluation keeps the
-# plain XLA gram — sidestepping the custom_vjp-under-vmapped-while_loop
-# composition entirely (both the XLA-replay and the analytic backward
-# reproduce the first-post-step-gradient NaN; see _PALLAS_GRAM note).
+# Trace-time forward-only dispatch: while a function wrapped in
+# ``forward_pallas`` is being traced, eligible gram calls go straight to
+# the Pallas kernel with NO custom_vjp wrapper. The optimizer hot loop
+# evaluates 4 line-search trials (pure forwards) per single gradient, so
+# routing just the trials through Pallas sidesteps the
+# custom_vjp-under-vmapped-while_loop composition entirely (both the
+# XLA-replay and the analytic backward reproduce the
+# first-post-step-gradient NaN; see the _PALLAS_GRAM note) — verified
+# healthy on chip: identical losses/iteration counts to the XLA path.
+#
+# DEFAULT OFF after measurement (round 3, v5e chip, bench workload
+# N=500 B=256): trials-via-Pallas = 944 fits/min vs 1001 on pure XLA —
+# at production shapes XLA's fusion of the elementwise gram into the
+# surrounding objective beats the standalone kernel (which pays padding
+# + an unfused HBM round trip). WAVEOME_PALLAS_TRIALS=1 opts in for
+# large-N exact fits where VMEM tiling wins.
 _PALLAS_FORWARD_CTX = False
 _PALLAS_FORWARD_OFF = (
-    os.environ.get("WAVEOME_PALLAS_TRIALS", "1") == "0"
+    os.environ.get("WAVEOME_PALLAS_TRIALS", "0") == "0"
 )
 
 

@@ -202,6 +202,34 @@ def _mean(config, params, X):
     return jnp.zeros((X.shape[0], 1), dtype=X.dtype)
 
 
+def _chol(K):
+    """Cholesky with forward-only Pallas dispatch: inside a
+    ``forward_pallas`` trace context (line-search trials — never
+    differentiated) eligible factorizations can run the VMEM-resident
+    Pallas kernel (pallas_ops/chol_pallas.py); gradient evaluations and
+    CPU/f64 paths keep XLA's cholesky.
+
+    Opt-in (WAVEOME_PALLAS_CHOL=1): measured on the v5e chip at
+    (B=256, N=500) f32 the Pallas kernel is 50 ms vs XLA's 30 ms — the
+    grid-sequential layout pays per-member step overhead that XLA's
+    batch-vectorized factorization amortizes across the whole batch
+    (tools/chol_bench.py). A lane-batched panel redesign projects to
+    ~15 ms but is not implemented."""
+    import os
+    import sys
+
+    gramlib = sys.modules["waveome_tpu.kernels.gram"]
+    if (os.environ.get("WAVEOME_PALLAS_CHOL", "0") == "1"
+            and gramlib._PALLAS_FORWARD_CTX
+            and K.dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        from ..pallas_ops.chol_pallas import chol_supported, cholesky_pallas
+
+        if chol_supported(K.shape[-1]):
+            return cholesky_pallas(K)
+    return jnp.linalg.cholesky(K)
+
+
 # ---------------------------------------------------------------------------
 # core math
 # ---------------------------------------------------------------------------
@@ -337,7 +365,7 @@ def exact_mll(config: SVGPConfig, params, X, Y, component_mask=None,
     noise = config.likelihood.constrain(params["lik_raw"])[0]
     K = _K(config, params, X, X, component_mask, coded, factor_mask)
     Ky = K + noise * jnp.eye(N, dtype=dtype)
-    L = jnp.linalg.cholesky(Ky)
+    L = _chol(Ky)
     err = (Y - _mean(config, params, X))[:, 0]
     a = jax.scipy.linalg.cho_solve((L, True), err)
     return (
