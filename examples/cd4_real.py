@@ -47,6 +47,22 @@ def load_cd4(path=REF):
 
 
 def main():
+    # CPU float64 by default: the dataset is tiny (366 visits x 2
+    # outcomes), f64 matches the reference's precision exactly, and the
+    # experimental axon TPU backend has crashed its worker under the
+    # search path's very long coded-program compiles (CD4_PLATFORM=tpu
+    # opts back in)
+    if os.environ.get("CD4_PLATFORM", "cpu") == "cpu":
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import waveome_tpu
+
+        waveome_tpu.set_precision("float64")
     import jax
 
     jax.config.update(
@@ -73,7 +89,20 @@ def main():
     )
 
     t0 = time.time()
-    gps.run_search(random_seed=9102)  # CD4.ipynb cell 12
+    # CD4.ipynb cell 12 runs with the defaults (max_depth=5,
+    # num_restart=5); on this image's CPU that budget runs >40 min, so
+    # the committed artifact uses a reduced budget (depth 3, 2 restarts —
+    # both winning structures emerge by depth 2); CD4_DEPTH/CD4_RESTARTS
+    # restore the notebook's budget
+    gps.run_search(
+        random_seed=9102,
+        max_depth=int(os.environ.get("CD4_DEPTH", "3")),
+        num_restart=int(os.environ.get("CD4_RESTARTS", "2")),
+        # sparse inducing approximation (M=128 of 366 visits): the
+        # all-data default makes each candidate-fit program ~25x bigger
+        # and CPU compiles dominate the wall clock
+        num_inducing_points=int(os.environ.get("CD4_M", "128")),
+    )
     search_min = (time.time() - t0) / 60.0
 
     summary = {

@@ -128,9 +128,10 @@ def test_early_truncation_still_finite(n_iter):
 
 
 def test_batch_driver_iterative_objective_matches_cholesky():
-    """The two-phase (CG/SLQ surrogate -> exact refinement) driver path —
-    what objective='auto' selects above N=2000 — must land on the same
-    optima as the pure-Cholesky path."""
+    """The two-phase (CG/SLQ surrogate -> exact refinement) driver path
+    (explicit objective='iterative'; chip-measured slower than dense
+    Cholesky even at N=2048, so 'auto' never selects it) must land on
+    the same optima as the pure-Cholesky path."""
     from waveome_tpu.fit import fit_outcomes_penalized
 
     rng = np.random.default_rng(0)

@@ -152,3 +152,52 @@ def test_bhattacharyya_and_legacy_attribution():
     assert print_kernel_names(KernelSpec(
         ((Primitive("linear", 0),),)
     )) == "linear[0]"
+
+
+def test_importance_return_values_consistent():
+    """All three importance scales (log_bf / statistic / deviance) on one
+    fitted model, built from POINTWISE log-lik differences: statistic =
+    2*log_bf, deviance in [0,1] with the reference's semantics
+    (utilities.py:676-693: 1 = removing the component changes nothing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from waveome_tpu.fit import fit_outcomes_penalized
+    from waveome_tpu.interpret.importance import feature_importance
+    from waveome_tpu.kernels import full_kernel_build
+
+    rng = np.random.default_rng(2)
+    ids = np.repeat(np.arange(8), 6).astype(float)
+    t = np.tile(np.linspace(-2, 2, 6), 8)
+    X = np.column_stack([ids, t])
+    y = np.sin(1.6 * t) + 0.15 * rng.normal(size=t.size)
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    res = fit_outcomes_penalized(
+        X, y[:, None], spec, likelihood="gaussian",
+        num_inducing_points=X.shape[0], penalization_factor=1.0,
+        num_factor_iter=0, max_iter=150, use_mesh=False,
+        compute_importances=False,
+    )
+    params = jax.tree.map(lambda a: jnp.asarray(a[0]), res.results.params)
+    config = res.config
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+
+    lbf = np.asarray(feature_importance(config, params, Xj, yj,
+                                        return_value="log_bf"))
+    st = np.asarray(feature_importance(config, params, Xj, yj,
+                                       return_value="statistic"))
+    de = np.asarray(feature_importance(config, params, Xj, yj,
+                                       return_value="deviance"))
+    C = config.num_components
+    # statistic = 2 * log_bf (clipped at 0), same residual share
+    np.testing.assert_allclose(st[:C], np.maximum(2 * lbf[:C], 0.0),
+                               atol=0.21)
+    np.testing.assert_allclose(st[-1], lbf[-1])
+    assert ((de[:C] >= 0) & (de[:C] <= 1)).all()
+    # the SE-on-time component carries the signal: removing it must cost
+    # log-lik (positive log BF) and drive its deviance value DOWN
+    i_sig = 1  # component order: categorical[id], se[t]
+    assert lbf[i_sig] > 1.0
+    assert de[i_sig] < 0.9

@@ -107,3 +107,62 @@ def test_analytic_backward_matches_jax_vjp():
                 np.testing.assert_allclose(np.asarray(got_m),
                                            np.asarray(want_m),
                                            rtol=1e-6, atol=1e-8)
+
+
+def test_forward_pallas_trials_in_plbfgs():
+    """plbfgs with trial_loss_fn=forward_pallas(loss) (the chip trial
+    dispatch, interpret-mode here) reaches the same optimum as the plain
+    XLA run — the gram is elementwise, so trial values are identical and
+    the trajectories coincide."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from waveome_tpu.kernels import gram as _  # noqa: F401
+    import importlib
+
+    G = importlib.import_module("waveome_tpu.kernels.gram")
+    from waveome_tpu.kernels.build import full_kernel_build
+    from waveome_tpu.models import svgp
+    from waveome_tpu.optimize.plbfgs import plbfgs_fit
+
+    old_off = G._PALLAS_FORWARD_OFF
+    G._PALLAS_FORWARD_OFF = False
+    # force eligibility on CPU via interpret-mode pallas
+    old_min = G._PALLAS_MIN_N
+    G._PALLAS_MIN_N = 8
+    try:
+        rng = np.random.default_rng(0)
+        N = 40
+        X = jnp.asarray(np.column_stack([
+            np.repeat(np.arange(8), 5), np.tile(np.linspace(-2, 2, 5), 8),
+        ]), dtype=jnp.float32)
+        y = jnp.asarray(
+            np.sin(1.5 * np.asarray(X[:, 1])) + 0.1 * rng.normal(size=N),
+            dtype=jnp.float32)[:, None]
+        spec, _names = full_kernel_build(
+            cat_vars=[0], num_vars=[1], unit_idx=0,
+            var_names=["id", "t"], return_sum=True)
+        config = svgp.make_config(spec, "gaussian", num_data=N,
+                                  input_dim=2, num_inducing_points=N)
+        p0 = svgp.init_params(config, X, dtype=jnp.float32)
+        mask = jax.tree.map(np.asarray, svgp.train_mask(config, p0))
+        for k in ("q_mu", "q_sqrt_raw", "z"):
+            mask[k] = np.zeros_like(mask[k])
+
+        def loss(p):
+            return -svgp.exact_mll(config, p, X, y)
+
+        # pallas path must actually be eligible on the CPU-interpret road:
+        # only check the backend gate is the difference
+        res_plain = plbfgs_fit(loss, p0, mask=mask, max_iter=12, tol=1e-5)
+        res_trial = plbfgs_fit(loss, p0, mask=mask, max_iter=12, tol=1e-5,
+                               trial_loss_fn=G.forward_pallas(loss))
+        assert np.isfinite(float(res_trial.loss))
+        np.testing.assert_allclose(float(res_trial.loss),
+                                   float(res_plain.loss), rtol=1e-4)
+    finally:
+        G._PALLAS_FORWARD_OFF = old_off
+        G._PALLAS_MIN_N = old_min

@@ -437,6 +437,8 @@ class GPSearch:
         softmax_select: bool = False,
         split: bool = False,
         training_percent: float = 0.7,
+        num_inducing_points: int = 500,
+        max_iter: int = 200,
         random_seed: Optional[int] = None,
         verbose: bool = False,
         **_compat,
@@ -479,6 +481,8 @@ class GPSearch:
             softmax_select=softmax_select,
             split=split,
             training_percent=training_percent,
+            num_inducing_points=num_inducing_points,
+            max_iter=max_iter,
             unit_idx=self.unit_idx,
             lik=self.likelihood,
             random_seed=random_seed,

@@ -270,14 +270,16 @@ def _segmented_gaussian_fit(
     gaussian = config.likelihood.name == "gaussian"
     exact_gaussian = gaussian and config.num_inducing >= N
     f32_mode = dtype == jnp.float32
-    # "auto": at the tutorial/bench scale (N≲1000) the batched Cholesky
-    # with ftol early-stopping wins (843 fits/min measured vs 160 for the
-    # two-phase surrogate at N=500, B=256 — the handoff re-builds L-BFGS
-    # curvature at the expensive objective). The CG/SLQ surrogate pays off
-    # when the N³ factorization dominates: switch above N=2000.
-    iterative = objective == "iterative" or (
-        objective == "auto" and exact_gaussian and f32_mode and N > 2000
-    )
+    # "auto" = Cholesky at EVERY N (round-3 chip measurement,
+    # BENCH_WORKLOAD=largen at N=2048 B=16: dense Cholesky 8.5 s vs the
+    # two-phase CG/SLQ surrogate 499 s — XLA's batched factorization
+    # reaches ~3.4 TFLOP/s at this size, and the surrogate's savings are
+    # repaid rebuilding L-BFGS curvature at the exact objective; the
+    # round-2 'switch above N=2000' rule was a CPU-test extrapolation
+    # that inverts on hardware). The matmul-only path stays available as
+    # objective='iterative' for memory-bound regimes (K no longer fits
+    # HBM alongside the batch).
+    iterative = objective == "iterative"
     if iterative and not exact_gaussian:
         raise ValueError(
             "objective='iterative' requires the exact Gaussian path (M=N)")
