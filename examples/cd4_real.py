@@ -115,14 +115,20 @@ def main():
     }
     print(json.dumps(summary))
 
-    g = gps.plot_heatmap(var_cutoff=0.1, cluster=False)  # cell 15
-    fig = g[0] if isinstance(g, tuple) else g.figure
-    fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
-                bbox_inches="tight")
-    for out in ["SPRNA", "BPRNA"]:  # cells 16-17
-        fig, _ = gps.plot_parts(out_label=out, x_axis_label="time")
-        fig.savefig(os.path.join(OUT_DIR, f"parts_{out}.png"), dpi=110,
+    try:
+        g = gps.plot_heatmap(var_cutoff=0.1, cluster=False)  # cell 15
+        fig = g[0] if isinstance(g, tuple) else g.figure
+        fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
                     bbox_inches="tight")
+    except Exception as e:  # plots must not void the run artifacts
+        print(f"heatmap failed: {e}", file=sys.stderr)
+    for out in ["SPRNA", "BPRNA"]:  # cells 16-17
+        try:
+            fig, _ = gps.plot_parts(out_label=out, x_axis_label="time")
+            fig.savefig(os.path.join(OUT_DIR, f"parts_{out}.png"),
+                        dpi=110, bbox_inches="tight")
+        except Exception as e:
+            print(f"parts plot ({out}) failed: {e}", file=sys.stderr)
 
     # bivariate LMC (multioutput_penalized_optimization)
     t0 = time.time()

@@ -146,6 +146,35 @@ def main():
         outcome_likelihood="negativebinomial",
     )
 
+    # IHMP_MODE=search runs the reference HPC script's OTHER path
+    # (gps.run_search, ihmp_waveome_hpc_run.py:176 — there: num_jobs=40
+    # under a 12 h SLURM limit) over the first IHMP_OUTCOMES metabolites
+    # with a bounded budget; results go to search_results.json
+    if os.environ.get("IHMP_MODE") == "search":
+        t0 = time.time()
+        gps.run_search(
+            random_seed=9102,
+            max_depth=int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
+            num_restart=int(os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
+            num_inducing_points=int(os.environ.get("IHMP_M", "128")),
+        )
+        mins = (time.time() - t0) / 60.0
+        out = {
+            "mode": "search",
+            "n_metabolites": len(gps.models),
+            "wall_minutes": round(mins, 2),
+            "outcomes_per_min": round(len(gps.models) / max(mins, 1e-9), 2),
+            "best_models": {o: m.kernel_name
+                            for o, m in gps.models.items()},
+            "var_explained": {o: gps.search_info[o]["var_exp"]
+                              for o in gps.models},
+        }
+        with open(os.path.join(OUT_DIR, "search_results.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps({k: out[k] for k in
+                          ("n_metabolites", "wall_minutes")}))
+        return
+
     t0 = time.time()
     gps.penalized_optimization(
         # the paper run's kernel options (ihmp_waveome.ipynb cell 11:

@@ -609,10 +609,29 @@ class GPSearch:
 
     def importance_frame(self) -> pd.DataFrame:
         """Outcomes × component-name importance table (heatmap input,
-        model_search.py:1271-1443)."""
+        model_search.py:1271-1443).
+
+        Penalized models contribute their per-component importances;
+        search models contribute per-component variance explained
+        (var_exp — the quantity the reference's heatmap plots after
+        run_search, model_search.py:1228-1234)."""
         rows = {}
         for feat, model in self.models.items():
-            rows[feat] = model.component_importance_dict
+            if (getattr(self, "model_selection_type", "") == "search"
+                    and hasattr(self, "search_info")):
+                info = self.search_info.get(feat, {})
+                var_exp = list(info.get("var_exp", []))
+                name = info.get("best_model_name") or model.kernel_name
+                comps = ([] if name in (None, "constant")
+                         else name.split("+"))
+                row = {}
+                for i, c in enumerate(comps):
+                    if i < len(var_exp):
+                        row[c] = float(var_exp[i])
+                row["residual"] = (float(var_exp[-1]) if var_exp else 1.0)
+                rows[feat] = row
+            else:
+                rows[feat] = model.component_importance_dict
         df = pd.DataFrame(rows).T.fillna(0.0)
         # replace dim indices with column names (utilities.py:266-278)
         df.columns = [
