@@ -134,3 +134,36 @@ def test_plot_marginal_all_modes(fitted_gps):
                                 num_funs=0, plot_all_units=True)
     n_units = gps.X["id"].nunique()
     assert len(ax.lines) >= n_units
+
+
+def test_penalized_optimization_sweep_mode(tutorial_data, tmp_path):
+    """sweep_options= routes through the checkpointed chunked sweep and
+    still yields predict-capable FittedGP handles; a second call
+    rehydrates from the checkpoint without refitting."""
+    X_df, Y_df = tutorial_data
+    from waveome_tpu import GPSearch
+
+    ck = str(tmp_path / "sweep_ck")
+
+    def build():
+        gps = GPSearch(X=X_df, Y=Y_df, unit_col="id",
+                       categorical_vars=["female"],
+                       Y_transform="standardize")
+        gps.penalized_optimization(
+            penalization_factor=1.0, num_factor_iter=0,
+            optimization_options={"num_opt_iter": 120},
+            sweep_options={"checkpoint_dir": ck, "chunk_size": 2},
+            random_seed=0,
+        )
+        return gps
+
+    gps1 = build()
+    assert set(gps1.models) == set(Y_df.columns)
+    mu, var = gps1.models[Y_df.columns[0]].predict_y(gps1.X.to_numpy())
+    assert np.isfinite(np.asarray(mu)).all()
+
+    gps2 = build()  # rehydrates — same masks/importances
+    for c in Y_df.columns:
+        np.testing.assert_allclose(gps2.models[c].raw_importances,
+                                   gps1.models[c].raw_importances)
+        assert gps2.models[c].kernel_name == gps1.models[c].kernel_name
