@@ -5,7 +5,11 @@ measured there in tools/chol_bench.py)."""
 import numpy as np
 import jax.numpy as jnp
 
-from waveome_tpu.pallas_ops.chol_pallas import chol_supported, cholesky_pallas
+from waveome_tpu.pallas_ops.chol_pallas import (
+    chol_supported,
+    cholesky_hybrid,
+    cholesky_pallas,
+)
 
 
 def test_cholesky_pallas_matches_xla():
@@ -34,3 +38,33 @@ def test_cholesky_pallas_unbatched_and_support():
     assert np.allclose(L @ L.T, K, rtol=1e-3, atol=1e-1)
     assert chol_supported(500) and chol_supported(1024)
     assert not chol_supported(64) and not chol_supported(2048)
+
+
+def test_cholesky_hybrid_xla_blocks():
+    """Trace-level blocked driver math (panel solve + trailing update)
+    against plain XLA cholesky, using the XLA diag-factor path so the
+    test runs at production-like sizes on CPU."""
+    rng = np.random.default_rng(2)
+    for B, N in ((4, 256), (3, 200)):
+        A = rng.normal(size=(B, N, N)).astype(np.float32)
+        K = A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N,
+                                                        dtype=np.float32)
+        L = np.asarray(cholesky_hybrid(jnp.asarray(K), diag_impl="xla"))
+        want = np.asarray(jnp.linalg.cholesky(jnp.asarray(K)))
+        assert (np.max(np.abs(L - want)) / np.max(np.abs(want))) < 2e-5
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_cholesky_hybrid_pallas_lane_batched():
+    """Lane-batched diag factor+inverse kernel (interpret mode): tiny
+    blk — interpret executes each unrolled step eagerly at ~0.1 s/step,
+    so the production blk=128 shape is chip-verified in
+    tools/chol_bench.py instead."""
+    rng = np.random.default_rng(3)
+    B, N = 2, 20  # pads N 20 -> 24 and exercises 3 block steps
+    A = rng.normal(size=(B, N, N)).astype(np.float32)
+    K = A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N, dtype=np.float32)
+    L = np.asarray(cholesky_hybrid(jnp.asarray(K), diag_impl="pallas",
+                                   blk=8))
+    want = np.asarray(jnp.linalg.cholesky(jnp.asarray(K)))
+    assert (np.max(np.abs(L - want)) / np.max(np.abs(want))) < 1e-5

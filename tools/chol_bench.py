@@ -21,7 +21,10 @@ def main(B=256, N=500):
     import jax.numpy as jnp
     import numpy as np
 
-    from waveome_tpu.pallas_ops.chol_pallas import cholesky_pallas
+    from waveome_tpu.pallas_ops.chol_pallas import (
+        cholesky_hybrid,
+        cholesky_pallas,
+    )
 
     rng = np.random.default_rng(0)
     A = rng.normal(size=(B, N, N)).astype(np.float32)
@@ -30,15 +33,20 @@ def main(B=256, N=500):
 
     xla = jax.jit(jax.vmap(jnp.linalg.cholesky))
     pal = jax.jit(lambda k: cholesky_pallas(k))
+    hyb = jax.jit(lambda k: cholesky_hybrid(k, diag_impl="pallas"))
+    hyb_x = jax.jit(lambda k: cholesky_hybrid(k, diag_impl="xla"))
 
     Lx = xla(K)
     jax.block_until_ready(Lx)
-    Lp = pal(K)
-    jax.block_until_ready(Lp)
-    err = float(jnp.max(jnp.abs(Lp - Lx)) / jnp.max(jnp.abs(Lx)))
-    print(f"B={B} N={N} rel err vs XLA: {err:.2e}")
+    for name, fn in (("pallas", pal), ("hybrid", hyb),
+                     ("hybrid_xla", hyb_x)):
+        Lp = fn(K)
+        jax.block_until_ready(Lp)
+        err = float(jnp.max(jnp.abs(Lp - Lx)) / jnp.max(jnp.abs(Lx)))
+        print(f"B={B} N={N} {name} rel err vs XLA: {err:.2e}")
 
-    for name, fn in (("xla", xla), ("pallas", pal)):
+    for name, fn in (("xla", xla), ("pallas", pal), ("hybrid", hyb),
+                     ("hybrid_xla", hyb_x)):
         t0 = time.time()
         for _ in range(10):
             out = fn(K)

@@ -190,6 +190,169 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
     return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, 0, 0, None, 0)))
 
 
+# Non-Gaussian (explicit-q Adam+NatGrad) candidate fits run SEGMENTED:
+# ``_SEG_ITERS`` optimizer iterations per device dispatch with the carry
+# handed back to the host between segments — the same protocol as the
+# penalized driver (fit/batch.py _seg_adam_fns). A single dispatch
+# containing the whole >=1000-iteration loop over a 256-wide candidate
+# batch runs multiple unbroken minutes on-device; bounded dispatches keep
+# the remote TPU responsive, allow all-done early exit between segments,
+# and localize device faults to a segment instead of the whole search.
+# (Chip evidence: a width-16 NB search runs fine unsegmented; width-256
+# crashes the remote worker ~5 min into its single 1000-iteration
+# dispatch — the per-dispatch duration, not the program, is the killer.)
+import os as _os
+
+_SEG_ITERS = int(_os.environ.get("WAVEOME_SEARCH_SEG_ITERS", "100"))
+
+
+@lru_cache(maxsize=128)
+def _cand_adam_fns(config, split: bool, dtype_name: str):
+    """Jitted segment steppers for non-Gaussian candidate fits, cached on
+    the static configuration (per-call closures would re-trace the whole
+    Adam while_loop on every expansion step)."""
+    from ..optimize.adam import adam_natgrad_fit
+
+    dtype = jnp.dtype(dtype_name)
+    M = config.num_inducing
+    exp_link = config.likelihood.name in (
+        "poisson", "gamma", "exponential", "negative_binomial",
+        "zeroinflated_negativebinomial",
+    )
+
+    def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
+        X, Ymat, tmpl, Xh, Yhmat = data
+        Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
+        Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
+        mask = {
+            "kernel_raw": kmask_i > 0,
+            "mean_c": jnp.ones((1,), dtype=bool),
+            "lik_raw": jnp.ones_like(tmpl["lik_raw"], dtype=bool),
+            "q_mu": jnp.ones_like(tmpl["q_mu"], dtype=bool),
+            "q_sqrt_raw": jnp.tril(jnp.ones((M, M), dtype=bool)),
+            "z": jnp.full(tmpl["z"].shape, config.train_inducing,
+                          dtype=bool),
+        }
+        p0 = {k: v for k, v in tmpl.items()}
+        p0["kernel_raw"] = raw_i
+        if exp_link:
+            # GLM-style mean init (log ȳ) — see one_fit above
+            p0["mean_c"] = jnp.log(
+                jnp.maximum(jnp.mean(Y), 1e-6))[None].astype(dtype)
+        # restart randomization, selected by the traced flag so one
+        # program serves both the deterministic first fit and restarts
+        k1, k2, k4 = jax.random.split(key, 3)
+        rnd_kraw = jnp.where(
+            mask["kernel_raw"],
+            jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i)
+        jitter_c = jax.random.normal(k2, (1,), dtype=dtype)
+        rnd_mean = p0["mean_c"] + jitter_c if exp_link else jitter_c
+        rnd_qs = jnp.diag(jax.random.exponential(k4, (M,), dtype=dtype))
+        p0["kernel_raw"] = jnp.where(randomize, rnd_kraw,
+                                     p0["kernel_raw"])
+        p0["mean_c"] = jnp.where(randomize, rnd_mean, p0["mean_c"])
+        p0["q_sqrt_raw"] = jnp.where(randomize, rnd_qs, p0["q_sqrt_raw"])
+
+        def loss(p):
+            return svgp.training_loss(config, p, X, Y, coded=coded_i)
+
+        return p0, mask, loss, (Xh, Yh)
+
+    def first_seg(coded_i, raw_i, kmask_i, key, y_col, randomize, bound,
+                  data):
+        p0, mask, loss, _ = build(coded_i, raw_i, kmask_i, key, data,
+                                  y_col, randomize)
+        _, carry = adam_natgrad_fit(loss, p0, mask=mask,
+                                    num_opt_iter=bound,
+                                    return_carry=True)
+        return carry
+
+    def next_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
+                 bound, data):
+        p0, mask, loss, _ = build(coded_i, raw_i, kmask_i, key, data,
+                                  y_col, randomize)
+        _, carry = adam_natgrad_fit(loss, p0, mask=mask,
+                                    num_opt_iter=bound, carry=carry,
+                                    return_carry=True)
+        return carry
+
+    def final_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
+                  data):
+        p0, mask, loss, (Xh, Yh) = build(coded_i, raw_i, kmask_i, key,
+                                         data, y_col, randomize)
+        # bound 0 => no iterations: just the NaN-rollback finalization
+        res = adam_natgrad_fit(loss, p0, mask=mask,
+                               num_opt_iter=jnp.asarray(0), carry=carry)
+        loglik = -res.loss
+        if split:
+            hold = jnp.sum(
+                svgp.predict_log_density(config, res.params, Xh, Yh,
+                                         coded=coded_i))
+        else:
+            hold = jnp.zeros((), dtype=dtype)
+        return res.params, loglik, hold
+
+    first_fn = jax.jit(jax.vmap(
+        first_seg, in_axes=(0, 0, 0, 0, 0, 0, None, None)))
+    next_fn = jax.jit(jax.vmap(
+        next_seg, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)))
+    final_fn = jax.jit(jax.vmap(
+        final_seg, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+    return first_fn, next_fn, final_fn
+
+
+def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
+                              coded, raw0, kmask, keys, data, y_cols_arr):
+    """Host-side segment loop for non-Gaussian candidate batches.
+
+    Restarts are flattened into the batch axis (candidate-major) and the
+    best restart per candidate is selected on the host at the end —
+    one level of vmap keeps the segment carry a flat batch."""
+    import os
+
+    first_fn, next_fn, final_fn = _cand_adam_fns(
+        config, bool(split), np.dtype(dtype).name)
+    n_pad = raw0.shape[0]
+    total = max(1000, 2 * max_iter)
+    if n_fits > 1:
+        coded_b = jax.tree.map(
+            lambda a: jnp.repeat(a, n_fits, axis=0), coded)
+        raw_b = jnp.repeat(raw0, n_fits, axis=0)
+        kmask_b = jnp.repeat(kmask, n_fits, axis=0)
+        y_b = jnp.repeat(y_cols_arr, n_fits)
+        keys_b = keys.reshape(n_pad * n_fits, 2)
+        randomize = jnp.ones((n_pad * n_fits,), dtype=bool)
+    else:
+        coded_b, raw_b, kmask_b, y_b = coded, raw0, kmask, y_cols_arr
+        keys_b = keys[:, 0, :]
+        randomize = jnp.zeros((n_pad,), dtype=bool)
+
+    log = os.environ.get("WAVEOME_SEG_LOG", "0") == "1"
+    bound = min(_SEG_ITERS, total)
+    carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
+                     jnp.asarray(bound), data)
+    while bound < total:
+        done = np.asarray(carry[5])
+        if log:
+            print(f"[seg] iters<={bound} done {int(done.sum())}/"
+                  f"{done.size}", flush=True)
+        if done.all():
+            break
+        bound = min(bound + _SEG_ITERS, total)
+        carry = next_fn(carry, coded_b, raw_b, kmask_b, keys_b, y_b,
+                        randomize, jnp.asarray(bound), data)
+    params, logliks, holds = final_fn(carry, coded_b, raw_b, kmask_b,
+                                      keys_b, y_b, randomize, data)
+    if n_fits > 1:
+        ll = np.asarray(logliks).reshape(n_pad, n_fits)
+        ll = np.where(np.isfinite(ll), ll, -np.inf)
+        best = np.arange(n_pad) * n_fits + ll.argmax(axis=1)
+        params = jax.tree.map(lambda a: a[best], params)
+        logliks = jnp.asarray(logliks)[best]
+        holds = jnp.asarray(holds)[best]
+    return params, logliks, holds
+
+
 def num_param_groups(spec: KernelSpec, likelihood, train_inducing: bool
                      ) -> int:
     """Count of trainable parameter objects as gpflow's
@@ -303,8 +466,6 @@ def fit_candidates(
         if Yh_np.ndim == 1:
             Yh_np = Yh_np[:, None]
 
-    fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
-                          np.dtype(dtype).name)
     data = (
         jnp.asarray(X_np, dtype=dtype),
         jnp.asarray(Y_np, dtype=dtype),
@@ -314,8 +475,15 @@ def fit_candidates(
         jnp.asarray(Yh_np, dtype=dtype) if split else jnp.zeros(
             (1, 1), dtype=dtype),
     )
-    params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
-                                     y_cols_arr)
+    if config.likelihood.name == "gaussian":
+        fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
+                              np.dtype(dtype).name)
+        params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
+                                         y_cols_arr)
+    else:
+        params, logliks, holds = _fit_candidates_segmented(
+            config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
+            keys, data, y_cols_arr)
 
     # drop bucket-padding duplicates
     params = jax.tree.map(lambda a: a[:n_cand], params)
