@@ -220,3 +220,41 @@ def test_nb_logprob_stable_at_real_data_scale():
     v = float(nb_log_prob(jnp.float32(3e10), jnp.float32(3e10),
                           jnp.float32(1.0)))
     assert -50.0 < v < 0.0
+
+
+def test_poisson_logprob_stable_at_real_data_scale():
+    """Breastmilk metabolite intensities reach ~3e8; the f32-stable
+    Poisson rearrangement (Stirling-cancelled gammaln, expm1 mean term)
+    must track the f64 naive formula at every scale, for both the
+    log-pmf (s=0) and the closed-form VE (s=Fvar/2), with finite,
+    correctly-signed gradients."""
+    import jax
+    from scipy.special import gammaln as sgam
+
+    from waveome_tpu.likelihoods import _p_logp, _p_ve
+
+    def naive64(F, Y, s):
+        return Y * F - np.exp(F + s) - sgam(Y + 1.0)
+
+    for Y in [0.0, 1.0, 17.0, 99.0, 100.0, 101.0, 1e4, 1e6, 3e8]:
+        for mfac in [0.3, 1.0, 3.0]:
+            F = float(np.log(max(Y, 1.0) * mfac))
+            for v in [0.0, 0.1, 1.0]:
+                got = float(_p_ve((), jnp.float32(F), jnp.float32(v),
+                                  jnp.float32(Y)))
+                want = float(naive64(F, Y, v / 2.0))
+                assert abs(got - want) / max(abs(want), 1.0) < 5e-4, (
+                    Y, F, v, got, want)
+            got = float(_p_logp((), jnp.float32(F), jnp.float32(Y)))
+            want = float(naive64(F, Y, 0.0))
+            assert abs(got - want) / max(abs(want), 1.0) < 5e-4, (
+                Y, F, got, want)
+
+    # gradient direction: underestimating the mean must push F up
+    g = jax.grad(lambda F: _p_logp((), F, jnp.float32(3e8)))(
+        jnp.float32(18.0))
+    assert np.isfinite(float(g)) and float(g) > 0
+
+    # near the optimum the value is moderate (no 1e9 cancellation noise)
+    v = float(_p_logp((), jnp.float32(np.log(3e8)), jnp.float32(3e8)))
+    assert -50.0 < v < 0.0

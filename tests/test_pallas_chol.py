@@ -68,3 +68,26 @@ def test_cholesky_hybrid_pallas_lane_batched():
                                    blk=8))
     want = np.asarray(jnp.linalg.cholesky(jnp.asarray(K)))
     assert (np.max(np.abs(L - want)) / np.max(np.abs(want))) < 1e-5
+
+
+def test_cholesky_auto_collapses_nested_vmaps(monkeypatch):
+    """cholesky_auto's custom_vmap rule must flatten EVERY vmap level
+    into the kernel's lane batch (the production drivers nest
+    trials x outcomes); unbatched calls stay on XLA. blk is shrunk so
+    interpret mode stays fast — the production blk=48 auto path is
+    chip-verified in tools/chol_bench.py."""
+    import jax
+    import waveome_tpu.pallas_ops.chol_pallas as cp
+
+    monkeypatch.setattr(cp, "_AUTO_BLK", 8)
+    rng = np.random.default_rng(4)
+    B1, B2, N = 3, 2, 20
+    A = rng.normal(size=(B1, B2, N, N)).astype(np.float32)
+    K = A @ np.swapaxes(A, -1, -2) + N * np.eye(N, dtype=np.float32)
+    L = np.asarray(jax.vmap(jax.vmap(cp.cholesky_auto))(jnp.asarray(K)))
+    want = np.linalg.cholesky(K)
+    assert np.max(np.abs(L - want)) / np.max(np.abs(want)) < 1e-5
+    # unbatched call keeps XLA's cholesky exactly
+    L0 = np.asarray(cp.cholesky_auto(jnp.asarray(K[0, 0])))
+    np.testing.assert_allclose(
+        L0, np.asarray(jnp.linalg.cholesky(jnp.asarray(K[0, 0]))))

@@ -38,22 +38,45 @@ def main(B=256, N=500):
 
     Lx = xla(K)
     jax.block_until_ready(Lx)
-    for name, fn in (("pallas", pal), ("hybrid", hyb),
-                     ("hybrid_xla", hyb_x)):
-        Lp = fn(K)
-        jax.block_until_ready(Lp)
-        err = float(jnp.max(jnp.abs(Lp - Lx)) / jnp.max(jnp.abs(Lx)))
-        print(f"B={B} N={N} {name} rel err vs XLA: {err:.2e}")
+    variants = [("xla", xla), ("hybrid_xla", hyb_x), ("hybrid", hyb),
+                ("pallas", pal)]
+    ok = {"xla"}
+    for name, fn in variants[1:]:
+        try:
+            Lp = fn(K)
+            jax.block_until_ready(Lp)
+            err = float(jnp.max(jnp.abs(Lp - Lx)) / jnp.max(jnp.abs(Lx)))
+            print(f"B={B} N={N} {name} rel err vs XLA: {err:.2e}",
+                  flush=True)
+            if err < 1e-3:
+                ok.add(name)
+        except Exception as e:
+            print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    for name, fn in (("xla", xla), ("pallas", pal), ("hybrid", hyb),
-                     ("hybrid_xla", hyb_x)):
+    # TIMING CAVEAT (axon tunnel): jax.block_until_ready does NOT
+    # synchronize on this backend — it returns with the work still
+    # queued, so the classic loop-then-block pattern measures ~0 ms.
+    # Each iteration therefore (a) feeds the previous OUTPUT back into
+    # the next input so executions cannot overlap or be elided, and
+    # (b) ends with a device->host scalar fetch, the only reliable
+    # sync. Per-dispatch tunnel overhead is ~200 ms, so single-kernel
+    # times are still upper bounds — only differences between variants
+    # timed the same way are meaningful.
+    reps = 10
+    for name, fn in variants:
+        if name not in ok:
+            continue
+        Kv = K
+        float(fn(Kv)[0, 0, 0])  # warm + drain queue
         t0 = time.time()
-        for _ in range(10):
-            out = fn(K)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / 10
-        print(f"{name}: {dt * 1000:.2f} ms "
-              f"({B * N ** 3 / 3 / dt / 1e12:.2f} TFLOP/s)")
+        for _ in range(reps):
+            out = fn(Kv)
+            Kv = K + out[:, :1, :1] * 1e-6  # chain: input depends on out
+        sync = float(out[0, 0, 0])  # noqa: F841 — forces completion
+        dt = (time.time() - t0) / reps
+        print(f"{name}: {dt * 1000:.2f} ms/call incl ~chain overhead "
+              f"({B * N ** 3 / 3 / dt / 1e12:.2f} TFLOP/s lower bound)",
+              flush=True)
 
 
 if __name__ == "__main__":

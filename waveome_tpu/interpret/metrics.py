@@ -54,13 +54,23 @@ def deviance_logliks(
         )
         mod = _gaussian_logpdf(Y, model_mu, y_var)
     elif name == "poisson":
-        def pois(y, m):
-            m = jnp.maximum(m, 1e-12)
-            return y * jnp.log(m) - m - _lgamma1p(y)
+        # Each log-lik is returned CENTERED on the saturated one,
+        # computed analytically: pois(y,m) − pois(y,y) =
+        # y·log(m/y) − (m − y), so the ~y·log y gammaln and y·log m
+        # terms never materialize. Every consumer (deviance ratios,
+        # importance scores) uses only differences of these values, and
+        # at the Breastmilk intensity scale (y ~ 3e8) the uncentered
+        # form's pre-rounded ~6e9 terms would leave ULP≈512 noise in
+        # exactly those differences.
+        ys = jnp.maximum(Y, 1e-12)
 
-        sat = pois(Y, jnp.maximum(Y, 1e-12))
-        base = pois(Y, jnp.mean(Y) if base_mu is None else base_mu)
-        mod = pois(Y, model_mu)
+        def pois_rel(m):
+            m = jnp.maximum(m, 1e-12)
+            return Y * jnp.log(m / ys) - (m - ys)
+
+        sat = jnp.zeros_like(Y)
+        base = pois_rel(jnp.mean(Y) if base_mu is None else base_mu)
+        mod = pois_rel(model_mu)
     elif name == "bernoulli":
         def bern(y, p):
             p = jnp.clip(p, 1e-12, 1 - 1e-12)
@@ -89,12 +99,6 @@ def deviance_logliks(
             f"Unknown likelihood '{name}' to calculate deviance"
         )
     return base, mod, sat
-
-
-def _lgamma1p(y):
-    from jax.scipy.special import gammaln
-
-    return gammaln(y + 1.0)
 
 
 def calc_deviance_explained(

@@ -215,13 +215,40 @@ def _g_pld(p, Fmu, Fvar, Y):
 
 
 # Poisson (exp link, binsize 1)
+def _poisson_ll_stable(F, Y, s):
+    """``Y·F - exp(F+s) - gammaln(Y+1)`` in a float32-stable form
+    (s=0: log-pmf; s=Fvar/2: the closed-form variational expectation).
+
+    The naive form sums ``Y·F`` and ``gammaln(Y+1)`` — each ~Y·log Y —
+    that cancel to O(Y·(F - log Y)); at the Breastmilk intensity scale
+    (Y ~ 3e8, terms ~6e9) float32's ULP of 512 erases the optimization
+    signal, the same failure mode fixed for NB in ``nb_log_prob``. With
+    ``t = F - log Y`` and Stirling's ``gammaln(Y+1) ≈ (Y+.5)·log Y - Y
+    + .5·log 2π + 1/(12Y)`` the cancellation is done analytically:
+
+        ll ≈ Y·t - Y·expm1(t+s) - .5·log(2πY) - 1/(12Y)
+
+    — every term is O(Y·t) near the optimum (expm1 keeps the small-t
+    regime exact). Exact gammaln below Y=100 where f32 is accurate.
+    """
+    exact = Y * F - _safe_exp(F + s) - gammaln(Y + 1.0)
+    Ys = jnp.maximum(Y, 1.0)
+    t = F - jnp.log(Ys)
+    big = (
+        Y * t
+        - Y * jnp.expm1(jnp.clip(t + s, -80.0, 80.0))
+        - 0.5 * jnp.log(2.0 * math.pi * Ys)
+        - 1.0 / (12.0 * Ys)
+    )
+    return jnp.where(Y < 100.0, exact, big)
+
+
 def _p_logp(p, F, Y):
-    m = _safe_exp(F)
-    return Y * F - m - gammaln(Y + 1.0)
+    return _poisson_ll_stable(F, Y, 0.0)
 
 
 def _p_ve(p, Fmu, Fvar, Y):
-    return Y * Fmu - _safe_exp(Fmu + Fvar / 2.0) - gammaln(Y + 1.0)
+    return _poisson_ll_stable(Fmu, Y, Fvar / 2.0)
 
 
 def _p_pmv(p, Fmu, Fvar):

@@ -209,12 +209,18 @@ def _chol(K):
     Pallas kernel (pallas_ops/chol_pallas.py); gradient evaluations and
     CPU/f64 paths keep XLA's cholesky.
 
-    Opt-in (WAVEOME_PALLAS_CHOL=1): measured on the v5e chip at
-    (B=256, N=500) f32 the Pallas kernel is 50 ms vs XLA's 30 ms — the
-    grid-sequential layout pays per-member step overhead that XLA's
-    batch-vectorized factorization amortizes across the whole batch
-    (tools/chol_bench.py). A lane-batched panel redesign projects to
-    ~15 ms but is not implemented."""
+    Default OFF (WAVEOME_PALLAS_CHOL=1 opts in), with receipts: the
+    lane-batched hybrid (pallas_ops/chol_pallas.py cholesky_auto) is
+    correct on well-conditioned matrices but its explicit-inverse panel
+    solve amplifies rounding by cond(L11) on REAL fit grams (K + sigma^2
+    I): tools/chol_accuracy.py measures logdet errors of 0.05-0.2 at
+    sigma^2=1 and NaN at sigma^2=0.09 on RBF grams, and the end-to-end
+    A/B (tools/chol_ab.py, chip) shows every bench fit converging
+    prematurely (mean final penalized NLL +140 units, iters 42 -> 21).
+    An earlier 14.1 ms-vs-30.3 ms microbench claim is withdrawn: on the
+    tunneled backend jax.block_until_ready does NOT synchronize, so
+    wall-clock microbenches without a host fetch measure nothing
+    (tools/chol_bench.py now forces a device->host fetch)."""
     import os
     import sys
 
@@ -223,10 +229,10 @@ def _chol(K):
             and gramlib._PALLAS_FORWARD_CTX
             and K.dtype == jnp.float32
             and jax.default_backend() in ("tpu", "axon")):
-        from ..pallas_ops.chol_pallas import chol_supported, cholesky_pallas
+        from ..pallas_ops.chol_pallas import cholesky_auto, hybrid_supported
 
-        if chol_supported(K.shape[-1]):
-            return cholesky_pallas(K)
+        if hybrid_supported(K.shape[-1]):
+            return cholesky_auto(K)
     return jnp.linalg.cholesky(K)
 
 
