@@ -130,6 +130,7 @@ def main():
         max_depth=int(os.environ.get("BM_DEPTH", "3")),
         num_restart=int(os.environ.get("BM_RESTARTS", "1")),
         max_iter=int(os.environ.get("BM_MAX_ITER", "200")),
+        verbose=True,
     )
     mins = (time.time() - t0) / 60.0
 

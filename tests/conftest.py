@@ -27,8 +27,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the vmapped L-BFGS programs dominate test
-# wall time; caching them makes re-runs fast
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# wall time; caching them makes re-runs fast. WAVEOME_TEST_CACHE_DIR
+# points a run at a different (e.g. empty) cache to measure cold time.
+_cache_dir = os.environ.get(
+    "WAVEOME_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
