@@ -162,7 +162,7 @@ def main():
     if target in gps.models:
         for unit in (1, 5):
             try:
-                fig = gps.plot_marginal(
+                fig, _ = gps.plot_marginal(
                     out_label=target,
                     x_axis_label="Age_at_stool_sample",
                     unit_label=unit,

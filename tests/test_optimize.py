@@ -139,6 +139,71 @@ def test_adam_natgrad_loop_improves_and_stops():
     assert bool(jnp.isfinite(res.loss))
 
 
+def test_adam_loss_guard_rule_and_fast_path():
+    """needs_loss_guard: the expensive 4-candidate variational guard is
+    statically reserved for unbounded-Fisher exp-link likelihoods
+    (Poisson/Gamma/Exponential at real count scales NaN the plain
+    natgrad); tame likelihoods take the plain fast step, and both paths
+    must improve the ELBO."""
+    from waveome_tpu.likelihoods import needs_loss_guard
+
+    assert needs_loss_guard("poisson")
+    assert needs_loss_guard("gamma") and needs_loss_guard("exponential")
+    for tame in ("negative_binomial", "zeroinflated_negativebinomial",
+                 "bernoulli", "gaussian"):
+        assert not needs_loss_guard(tame)
+
+    config, params, X, Y = _svgp_setup()
+    mask = svgp.train_mask(config, params)
+
+    def loss(p):
+        return svgp.training_loss(config, p, X, Y)
+
+    for guard in (False, True):
+        res = adam_natgrad_fit(
+            loss, params, mask=mask, learning_rate=0.05,
+            num_opt_iter=300, convergence_threshold=1e-6,
+            loss_guard=guard,
+        )
+        assert float(res.loss) < float(loss(params))
+        assert bool(jnp.isfinite(res.loss))
+
+
+def test_adam_guarded_survives_extreme_scale_poisson():
+    """Real-scale Poisson regression (counts ~1e6, the Breastmilk
+    failure mode): with the loss guard + NaN step-decay recovery the fit
+    must end FINITE and strictly better than its initialization — the
+    old rollback-and-give-up semantics froze every candidate at init."""
+    from waveome_tpu.likelihoods import needs_loss_guard
+
+    rng_l = np.random.default_rng(11)
+    N = 48
+    Xl = np.linspace(0, 1, N)[:, None].astype(np.float32)
+    f = 14.0 + 1.0 * np.sin(6 * Xl[:, 0])
+    Yl = rng_l.poisson(np.exp(f)).astype(np.float32)[:, None]
+
+    spec = KernelSpec(((Primitive("squared_exponential", 0),),))
+    config = svgp.make_config(spec, "poisson", num_data=N, input_dim=1,
+                              num_inducing_points=16)
+    params = svgp.init_params(config, jnp.asarray(Xl),
+                              key=jax.random.PRNGKey(0))
+    # GLM-style init (as the drivers do) then optimize guarded
+    params = dict(params)
+    params["mean_c"] = jnp.log(jnp.mean(jnp.asarray(Yl)))[None]
+    mask = svgp.train_mask(config, params)
+
+    def loss(p):
+        return svgp.training_loss(config, p, jnp.asarray(Xl),
+                                  jnp.asarray(Yl))
+
+    res = adam_natgrad_fit(
+        loss, params, mask=mask, num_opt_iter=400,
+        loss_guard=needs_loss_guard("poisson"),
+    )
+    assert bool(jnp.isfinite(res.loss))
+    assert float(res.loss) < float(loss(params)) - 1.0
+
+
 def test_random_restart_picks_best():
     config, params, X, Y = _svgp_setup()
     mask = svgp.train_mask(config, params)

@@ -13,29 +13,24 @@ from waveome_tpu.pallas_ops.chol_pallas import (
 
 
 def test_cholesky_pallas_matches_xla():
+    """Grid-sequential kernel, N=128 (one block) ONLY: the statically
+    unrolled body is a huge XLA-CPU graph in interpret mode — the N=140
+    padded variant compiles a 2-block 256-wide body (~5 min cold), not
+    worth it for an opt-in research kernel. Padding logic is shared
+    with (and covered by) the hybrid blk=8 test below; the production
+    N=500 shape is chip-verified in tools/chol_bench.py."""
     rng = np.random.default_rng(0)
-    # 140 exercises the identity padding; interpret mode makes the
-    # unrolled recurrence slow, so sizes stay small here (the production
-    # N=500 shape is chip-verified in tools/chol_bench.py: rel err 9e-5)
-    for N in (128, 140):
-        B = 3
-        A = rng.normal(size=(B, N, N)).astype(np.float32)
-        K = A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N,
-                                                        dtype=np.float32)
-        L = np.asarray(cholesky_pallas(jnp.asarray(K)))
-        want = np.linalg.cholesky(K)
-        assert np.max(np.abs(L - want)) / np.max(np.abs(want)) < 1e-4
-        # strictly lower triangular output
-        assert np.allclose(np.triu(L, 1), 0.0)
-
-
-def test_cholesky_pallas_unbatched_and_support():
-    rng = np.random.default_rng(1)
-    N = 128
-    A = rng.normal(size=(N, N)).astype(np.float32)
-    K = A @ A.T + N * np.eye(N, dtype=np.float32)
+    B, N = 3, 128
+    A = rng.normal(size=(B, N, N)).astype(np.float32)
+    K = A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N, dtype=np.float32)
     L = np.asarray(cholesky_pallas(jnp.asarray(K)))
-    assert np.allclose(L @ L.T, K, rtol=1e-3, atol=1e-1)
+    want = np.linalg.cholesky(K)
+    assert np.max(np.abs(L - want)) / np.max(np.abs(want)) < 1e-4
+    # strictly lower triangular output
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_chol_supported_bounds():
     assert chol_supported(500) and chol_supported(1024)
     assert not chol_supported(64) and not chol_supported(2048)
 
@@ -68,6 +63,10 @@ def test_cholesky_hybrid_pallas_lane_batched():
                                    blk=8))
     want = np.asarray(jnp.linalg.cholesky(jnp.asarray(K)))
     assert (np.max(np.abs(L - want)) / np.max(np.abs(want))) < 1e-5
+    # unbatched (rank-2) input goes through the same wrapper
+    L0 = np.asarray(cholesky_hybrid(jnp.asarray(K[0]),
+                                    diag_impl="pallas", blk=8))
+    assert np.allclose(L0, want[0], atol=1e-4)
 
 
 def test_cholesky_auto_collapses_nested_vmaps(monkeypatch):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.spec import KernelSpec
+from ..likelihoods import needs_loss_guard
 from ..models import svgp
 from ..optimize.lbfgs import LBFGSCarry, lbfgs_fit
 from ..optimize.plbfgs import plbfgs_fit
@@ -571,6 +572,7 @@ def _seg_adam_fns(config, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     f32_mode = dtype == jnp.float32
     var_cap = 1e3
+    guard = needs_loss_guard(config.likelihood.name)
     M, D = config.num_inducing, config.input_dim
     dummy = svgp.init_params(config, jnp.zeros((max(M, 1), D), dtype=dtype),
                              key=jax.random.PRNGKey(0), dtype=dtype)
@@ -593,19 +595,19 @@ def _seg_adam_fns(config, dtype_name: str):
         X, p0, _probes = data
         return adam_natgrad_fit(make_loss(y, factor, X), p0,
                                 mask=mask_np, num_opt_iter=bound,
-                                return_carry=True)
+                                return_carry=True, loss_guard=guard)
 
     def next_seg(carry, y, factor, bound, data):
         X, p0, _probes = data
         return adam_natgrad_fit(make_loss(y, factor, X), p0,
                                 mask=mask_np, num_opt_iter=bound,
-                                carry=carry, return_carry=True)
+                                carry=carry, return_carry=True, loss_guard=guard)
 
     def first_seg_b(y, factor, bound, p0, data):
         X, _, _probes = data
         return adam_natgrad_fit(make_loss(y, factor, X), p0,
                                 mask=mask_np, num_opt_iter=bound,
-                                return_carry=True)
+                                return_carry=True, loss_guard=guard)
 
     first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))
     next_fn = jax.jit(jax.vmap(next_seg, in_axes=(0, 0, 0, None, None)))

@@ -29,6 +29,7 @@ from jax.scipy.special import ndtri
 
 from ..interpret.importance import feature_importance
 from ..kernels.gram import component_variances
+from ..likelihoods import needs_loss_guard
 from ..models import svgp
 from ..optimize import lbfgs_fit, random_restart_fit
 
@@ -227,8 +228,9 @@ def penalized_fit(
         # on this objective (fixed-grid) or compile nested zoom loops.
         from ..optimize.adam import adam_natgrad_fit
 
-        res = adam_natgrad_fit(loss_with(factor), p, mask=mask,
-                               num_opt_iter=max_iter)
+        res = adam_natgrad_fit(
+            loss_with(factor), p, mask=mask, num_opt_iter=max_iter,
+            loss_guard=needs_loss_guard(config.likelihood.name))
         return res.params, res.loss, res.num_iters
 
     params, loss, iters = fit(params0, factor0)

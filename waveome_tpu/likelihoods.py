@@ -417,6 +417,24 @@ _REGISTRY = {
 }
 
 
+# Exp-link likelihoods whose Fisher information grows unboundedly with
+# the observed values (Poisson: Var(y|f)=e^f; Gamma/Exponential rate
+# links): at real count scales (y ~ 1e6+, e.g. the Breastmilk
+# metabolome) the natural-gradient step in natural-parameter space
+# jumps to a Newton-like target nearly independent of gamma and the
+# next iteration's variational precision goes indefinite -> NaN. These
+# need the loss-guarded variational update (optimize/adam.py
+# natgrad_apply). NB/ZINB (Fisher bounded by 1/alpha) and Bernoulli
+# (bounded by 1) take the plain fast natgrad step.
+_UNBOUNDED_FISHER = frozenset({"poisson", "gamma", "exponential"})
+
+
+def needs_loss_guard(name: str) -> bool:
+    """True when ``adam_natgrad_fit`` should enable the (4x-forward-cost)
+    loss-guarded variational update for this likelihood."""
+    return name in _UNBOUNDED_FISHER
+
+
 def gp_likelihood_crosswalk(likelihood_str: str) -> Likelihood:
     """String → likelihood (utilities.py:989-1009)."""
     s = likelihood_str.lower()

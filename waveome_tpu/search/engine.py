@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import default_float
 from ..kernels.spec import KernelSpec
+from ..likelihoods import needs_loss_guard
 from ..models import svgp
 from ..optimize.plbfgs import plbfgs_fit
 
@@ -157,8 +158,10 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             # variants stall on this objective under a fixed trial grid
             from ..optimize.adam import adam_natgrad_fit
 
-            res = adam_natgrad_fit(loss, p0, mask=mask,
-                                   num_opt_iter=max(1000, 2 * max_iter))
+            res = adam_natgrad_fit(
+                loss, p0, mask=mask,
+                num_opt_iter=max(1000, 2 * max_iter),
+                loss_guard=needs_loss_guard(config.likelihood.name))
         loglik = -res.loss  # log posterior (no priors → ELBO)
         if split:
             hold = jnp.sum(
@@ -219,6 +222,7 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
         "poisson", "gamma", "exponential", "negative_binomial",
         "zeroinflated_negativebinomial",
     )
+    guard = needs_loss_guard(config.likelihood.name)
 
     def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
         X, Ymat, tmpl, Xh, Yhmat = data
@@ -264,7 +268,8 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
                                   y_col, randomize)
         _, carry = adam_natgrad_fit(loss, p0, mask=mask,
                                     num_opt_iter=bound,
-                                    return_carry=True)
+                                    return_carry=True,
+                                    loss_guard=guard)
         return carry
 
     def next_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
@@ -273,7 +278,8 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
                                   y_col, randomize)
         _, carry = adam_natgrad_fit(loss, p0, mask=mask,
                                     num_opt_iter=bound, carry=carry,
-                                    return_carry=True)
+                                    return_carry=True,
+                                    loss_guard=guard)
         return carry
 
     def final_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
@@ -282,7 +288,8 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
                                          data, y_col, randomize)
         # bound 0 => no iterations: just the NaN-rollback finalization
         res = adam_natgrad_fit(loss, p0, mask=mask,
-                               num_opt_iter=jnp.asarray(0), carry=carry)
+                               num_opt_iter=jnp.asarray(0), carry=carry,
+                               loss_guard=guard)
         loglik = -res.loss
         if split:
             hold = jnp.sum(
