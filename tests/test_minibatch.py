@@ -58,6 +58,36 @@ def test_minibatch_elbo_matches_fullbatch_optimum():
     assert f_mini <= f_full + 0.02 * abs(f_full) + 2.0, (f_mini, f_full)
 
 
+def test_minibatch_loss_guard_path():
+    """loss_guard=True (what the penalized driver passes for Poisson via
+    needs_loss_guard) must still converge to a comparable optimum: the
+    guarded step only replaces the natgrad proposal with keep-current
+    when the proposal worsens the batch objective."""
+    X, Y = _poisson_problem(seed=3)
+    N = X.shape[0]
+    spec, _ = full_kernel_build(cat_vars=[0], num_vars=[1], unit_idx=0,
+                                var_names=["id", "t"], return_sum=True)
+    config = svgp.make_config(spec, "poisson", num_data=N, input_dim=2,
+                              num_inducing_points=24)
+    params0 = svgp.init_params(config, X, key=jax.random.PRNGKey(0))
+    mask = svgp.train_mask(config, params0)
+
+    def full_loss(p):
+        return svgp.training_loss(config, p, X, Y)
+
+    bs = 30
+    scale = N / bs
+
+    def batch_loss(p, idx):
+        return svgp.training_loss(config, p, X[idx], Y[idx], scale=scale)
+
+    guarded = minibatch_fit(batch_loss, full_loss, params0, N, bs,
+                            jax.random.PRNGKey(1), mask=mask,
+                            num_opt_iter=800, loss_guard=True)
+    assert np.isfinite(float(guarded.loss))
+    assert float(guarded.loss) < float(full_loss(params0))
+
+
 def test_minibatch_plumbed_through_penalized_fit():
     from waveome_tpu.fit import penalized_fit
 

@@ -198,6 +198,7 @@ def penalized_fit(
                 batch_loss, loss_with(factor), p, N, batch_size,
                 key if key is not None else jax.random.PRNGKey(0),
                 mask=mask, num_opt_iter=max_iter,
+                loss_guard=needs_loss_guard(config.likelihood.name),
             )
             return res.params, res.loss, res.num_iters
         if num_restart > 0:

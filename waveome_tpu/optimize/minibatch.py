@@ -44,6 +44,7 @@ def minibatch_fit(
     convergence_threshold: float = 1e-6,
     use_natgrad: bool = True,
     check_every: int = 100,
+    loss_guard: bool = False,
 ) -> MinibatchResult:
     """SGD loop over minibatch indices; see module docstring.
 
@@ -88,12 +89,32 @@ def minibatch_fit(
             params = unravel(flat)
             _, g = grad_fn(flat, idx)
             gp = unravel(g)
+            Lq = jnp.tril(params["q_sqrt_raw"])
             q_mu_new, q_sqrt_new = natgrad_step(
-                gp["q_mu"], gp["q_sqrt_raw"], params["q_mu"],
-                jnp.tril(params["q_sqrt_raw"]), nat_gradient_gamma,
+                gp["q_mu"], gp["q_sqrt_raw"], params["q_mu"], Lq,
+                nat_gradient_gamma,
             )
-            params = dict(params, q_mu=q_mu_new, q_sqrt_raw=q_sqrt_new)
-            flat, _ = ravel_pytree(params)
+            if loss_guard:
+                # loss-guarded variational update on THIS minibatch
+                # (same failure mode as optimize/adam.py natgrad_apply:
+                # unbounded-Fisher exp-link likelihoods at real count
+                # scales jump to a Newton-like target and NaN) — pick
+                # the better of {natgrad proposal, keep-current} under
+                # the step's own batch objective
+                def with_q(mu, sq):
+                    p2 = dict(params, q_mu=mu, q_sqrt_raw=sq)
+                    fl, _ = ravel_pytree(p2)
+                    return fl
+                fl_prop = with_q(q_mu_new, q_sqrt_new)
+                fl_keep = with_q(params["q_mu"], Lq)
+                l_prop = f_batch(fl_prop, idx)
+                l_keep = f_batch(fl_keep, idx)
+                take = jnp.isfinite(l_prop) & (l_prop <= l_keep)
+                flat = jnp.where(take, fl_prop, fl_keep)
+            else:
+                params = dict(params, q_mu=q_mu_new,
+                              q_sqrt_raw=q_sqrt_new)
+                flat, _ = ravel_pytree(params)
 
         def checkpoint(args):
             flat, snapshot, last_loss, done = args
