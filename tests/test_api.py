@@ -12,7 +12,7 @@ from waveome_tpu import GPSearch
 @pytest.fixture(scope="module")
 def tutorial_data():
     rng = np.random.default_rng(7)
-    n_units, n_per = 10, 8
+    n_units, n_per = 12, 8
     ids = np.repeat([f"s{i}" for i in range(n_units)], n_per)
     t = np.tile(np.linspace(0, 10, n_per), n_units)
     female = np.repeat((np.arange(n_units) % 2).astype(float), n_per)

@@ -13,7 +13,9 @@ from waveome_tpu.search.lam import (
 
 def _sim(seed=0):
     rng = np.random.default_rng(seed)
-    n_units, n_per = 10, 6
+    # 8x6 = the shared design size across the suite: distinct shapes
+    # compile distinct vmapped cell programs (cold-compile tax)
+    n_units, n_per = 8, 6
     ids = np.repeat(np.arange(n_units), n_per).astype(float)
     t = np.tile(np.linspace(-2, 2, n_per), n_units)
     X = np.column_stack([ids, t])
@@ -57,7 +59,7 @@ def test_lam_search_grid_and_early_stop():
     )
     out = lam_search(
         spec, X, Y, lam_list=[0.0, 0.01, 5.0], k_fold=3, unit_col=0,
-        max_iter=120, random_seed=0, verbose=False,
+        max_iter=150, random_seed=0, verbose=False,
     )
     assert out["best_lambda"] in [0.0, 0.01, 5.0]
     assert "final_model" in out
@@ -69,7 +71,7 @@ def test_multioutput_lam_search_vmapped_cells():
     from waveome_tpu.search.lam import multioutput_lam_search
 
     rng = np.random.default_rng(3)
-    n_units, n_per = 8, 5
+    n_units, n_per = 8, 6
     ids = np.repeat(np.arange(n_units), n_per).astype(float)
     t = np.tile(np.linspace(-2, 2, n_per), n_units)
     X = np.column_stack([ids, t])

@@ -53,11 +53,11 @@ def test_gpsearch_multioutput_and_latent_plots():
 
 
 def test_split_kernel_search_unit_holdout():
-    X, t, rng = _design(n_units=10, n_per=6, seed=1)
+    X, t, rng = _design(seed=1)
     Y = (np.sin(1.8 * t) + 0.2 * rng.normal(size=X.shape[0]))[:, None]
     res = split_kernel_search(
         X, Y, kern_list=["squared_exponential"], unit_idx=0, cat_vars=[0],
-        max_depth=2, num_restart=1, max_iter=120, random_seed=0,
+        max_depth=2, num_restart=1, max_iter=150, random_seed=0,
     )
     assert "squared_exponential[1]" in res["best_model_name"]
 
@@ -79,7 +79,7 @@ def test_plot_parts_on_search_model():
 
     res = full_kernel_search(
         X, Y, kern_list=["squared_exponential"], cat_vars=[0],
-        max_depth=2, num_restart=1, max_iter=120, random_seed=0,
+        max_depth=2, num_restart=1, max_iter=150, random_seed=0,
     )
     model = res["best_model"]
     fig, _ = pred_kernel_parts(model, data=(X, Y), x_idx=1,

@@ -96,7 +96,10 @@ def test_make_folds_unit_aware():
 
 def test_fit_candidates_batch_scores():
     rng = np.random.default_rng(4)
-    n = 40
+    # n matches the 8x6 design every search test uses so the vmapped
+    # candidate-fit program (keyed on num_inducing=N) is compiled once
+    # for the whole suite
+    n = 48
     X = np.column_stack([rng.integers(0, 4, n).astype(float),
                          np.linspace(-2, 2, n)])
     Y = (np.sin(2 * X[:, 1]) + 0.1 * rng.normal(size=n))[:, None]
@@ -141,7 +144,7 @@ def test_full_search_recovers_sin_structure():
 def test_full_search_recovers_random_intercept():
     """y = unit intercepts + noise → categorical[0] should appear."""
     rng = np.random.default_rng(6)
-    n_units, n_per = 10, 5
+    n_units, n_per = 8, 6
     ids = np.repeat(np.arange(n_units), n_per).astype(float)
     t = np.tile(np.linspace(-2, 2, n_per), n_units)
     X = np.column_stack([ids, t])
@@ -229,7 +232,7 @@ def test_gpsearch_run_search_accepts_num_restart():
     from waveome_tpu import GPSearch
 
     rng = np.random.default_rng(5)
-    n_units, n_per = 6, 5
+    n_units, n_per = 8, 6
     ids = np.repeat(np.arange(n_units), n_per).astype(float)
     t = np.tile(np.linspace(-2, 2, n_per), n_units)
     y = np.sin(1.5 * t) + 0.2 * rng.normal(size=t.size)
@@ -241,5 +244,5 @@ def test_gpsearch_run_search_accepts_num_restart():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         gps.run_search(kernels=["squared_exponential"], max_depth=1,
-                       num_restart=2, random_seed=0)
+                       num_restart=2, max_iter=150, random_seed=0)
     assert gps.models["y"].kernel_name

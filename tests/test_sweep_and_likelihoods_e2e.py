@@ -10,7 +10,7 @@ from waveome_tpu.fit import penalized_fit
 from waveome_tpu.models import svgp
 
 
-def _design(n_units=10, n_per=6, seed=0):
+def _design(n_units=8, n_per=6, seed=0):
     rng = np.random.default_rng(seed)
     ids = np.repeat(np.arange(n_units), n_per).astype(float)
     t = np.tile(np.linspace(-2, 2, n_per), n_units)
@@ -99,7 +99,7 @@ def test_gpsearch_run_search_smoke():
     gps = GPSearch(X=Xdf, Y=Ydf, unit_col="id",
                    outcome_likelihood="gaussian")
     gps.run_search(kernels=["squared_exponential"], max_depth=2,
-                   num_restart=1, verbose=False)
+                   num_restart=1, max_iter=150, verbose=False)
     model = gps.models["y"]
     assert "squared_exponential" in model.kernel_name
     assert "y" in gps.search_info

@@ -11,6 +11,8 @@ mesh. One XLA program fits the whole batch.
 from __future__ import annotations
 
 from functools import lru_cache
+
+from .._variants import variant_logged
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -476,6 +478,7 @@ def _segmented_gaussian_fit(
     )
 
 
+@variant_logged
 @lru_cache(maxsize=64)
 def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
                  cg_iters: int, dtype_name: str):
@@ -562,6 +565,7 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
     return first_fn, next_fn, first_b_fn
 
 
+@variant_logged
 @lru_cache(maxsize=64)
 def _seg_adam_fns(config, dtype_name: str):
     """Jitted Adam+NatGrad segment steppers for the non-Gaussian
@@ -616,6 +620,7 @@ def _seg_adam_fns(config, dtype_name: str):
     return first_fn, next_fn, first_b_fn
 
 
+@variant_logged
 @lru_cache(maxsize=64)
 def _seg_final_fns(config, var_cutoff: float, importance_type: str,
                    compute_importances: bool, exact_gaussian: bool,

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache
+
+from .._variants import variant_logged
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -329,6 +331,7 @@ def _lmc_init_carry(config: LMCConfig, params0: dict,
     )
 
 
+@variant_logged
 @lru_cache(maxsize=32)
 def _lmc_run_fns(
     config: LMCConfig,

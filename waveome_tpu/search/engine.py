@@ -12,6 +12,8 @@ search incurs only a handful of compiles.
 from __future__ import annotations
 
 from functools import lru_cache
+
+from .._variants import variant_logged
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
@@ -68,6 +70,7 @@ _C_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24)
 _F_BUCKETS = (2, 3, 4, 6, 8)
 
 
+@variant_logged
 @lru_cache(maxsize=128)
 def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
                 dtype_name: str):
@@ -209,6 +212,7 @@ import os as _os
 _SEG_ITERS = int(_os.environ.get("WAVEOME_SEARCH_SEG_ITERS", "100"))
 
 
+@variant_logged
 @lru_cache(maxsize=128)
 def _cand_adam_fns(config, split: bool, dtype_name: str):
     """Jitted segment steppers for non-Gaussian candidate fits, cached on

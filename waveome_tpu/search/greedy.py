@@ -15,6 +15,8 @@ instead of one sequential GPflow fit per candidate.
 from __future__ import annotations
 
 from functools import lru_cache
+
+from .._variants import variant_logged
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -409,6 +411,7 @@ def _make_fitted(entry, name):
     return fitted
 
 
+@variant_logged
 @lru_cache(maxsize=32)
 def _rsq_predict_fn(config):
     """Jitted predict_y vmapped over component masks — one compiled

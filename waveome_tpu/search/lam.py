@@ -19,6 +19,8 @@ process pool (SURVEY.md §2.8 row 2: "another vmapped axis").
 from __future__ import annotations
 
 from functools import lru_cache
+
+from .._variants import variant_logged
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -122,6 +124,7 @@ def penalization_search(
     return out
 
 
+@variant_logged
 @lru_cache(maxsize=64)
 def _pen_cell_fn(config, max_iter: int, dtype_name: str):
     """Jitted (factor × fold) CV cell fitter, cached on static config —
@@ -162,6 +165,7 @@ def auto_lambda_grid(Y, num_lams: int = 20):
     return grid.tolist()
 
 
+@variant_logged
 @lru_cache(maxsize=64)
 def _lam_cell_fn(spec, likelihood: str, base_variances_key,
                  max_iter: int, num_inducing_points: int, random_seed,
@@ -298,6 +302,7 @@ def lam_search(
     return out
 
 
+@variant_logged
 @lru_cache(maxsize=32)
 def _mo_cell_score_fn(config, dtype_name: str):
     """Jitted LMC CV-cell scorer, cached on static config."""
