@@ -331,6 +331,16 @@ def _lmc_init_carry(config: LMCConfig, params0: dict,
     )
 
 
+def _canon_config(config: LMCConfig) -> LMCConfig:
+    """Strip λ from the static program key: inside the jitted loop the
+    penalization factor always enters as a traced operand (``data[3]``),
+    so configs differing only in ``penalization_factor`` lower to the
+    identical program — don't compile it twice."""
+    import dataclasses as _dc
+
+    return _dc.replace(config, penalization_factor=1.0)
+
+
 @variant_logged
 @lru_cache(maxsize=32)
 def _lmc_run_fns(
@@ -492,8 +502,9 @@ def fit_lmc(
     coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
     run, _ = _lmc_run_fns(
-        config, np.dtype(dtype).name, num_opt_iter, adam_learning_rate,
-        nat_gradient_gamma, constraint_weight, patience,
+        _canon_config(config), np.dtype(dtype).name, num_opt_iter,
+        adam_learning_rate, nat_gradient_gamma, constraint_weight,
+        patience,
     )
     init = _lmc_init_carry(config, params0, adam_learning_rate)
 
@@ -536,8 +547,9 @@ def fit_lmc_cells(
     coded_np = jax.tree.map(np.asarray, lmc_coded(config))
 
     _, run = _lmc_run_fns(
-        config, np.dtype(dtype).name, num_opt_iter, adam_learning_rate,
-        nat_gradient_gamma, constraint_weight, patience,
+        _canon_config(config), np.dtype(dtype).name, num_opt_iter,
+        adam_learning_rate, nat_gradient_gamma, constraint_weight,
+        patience,
     )
     init = _lmc_init_carry(config, params0, adam_learning_rate)
     params_k, losses_k = run(
