@@ -64,6 +64,43 @@ def _emit(out):
     return out
 
 
+def _wait_for_backend():
+    """Block until the TPU backend answers a trivial program.
+
+    The tunneled axon worker restarts take minutes after a crash, and a
+    failed backend init is cached for the life of the process — so probe
+    from SUBPROCESSES (each gets a fresh init) and only let the main
+    process touch jax once a probe succeeds. Bounded by
+    BENCH_TPU_WAIT_S (default 30 min); returns False on give-up so the
+    caller can emit a diagnostic record instead of stack-tracing."""
+    import subprocess
+
+    max_wait = int(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "L = jnp.linalg.cholesky(jnp.eye(8)*2.0); "
+             "print('TPU_OK', float(L[0,0]))")
+    t0 = time.time()
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=600)
+            if "TPU_OK" in (r.stdout or ""):
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("# TPU backend unavailable; waiting for the worker",
+                  file=sys.stderr)
+            first = False
+        if time.time() - t0 > max_wait:
+            print(f"# backend still unavailable after {max_wait}s",
+                  file=sys.stderr)
+            return False
+        time.sleep(45)
+
+
 def main_gaussian():
     """Penalized Gaussian tutorial workload (N=500, M=N, saturated
     kernel, horseshoe, L-BFGS, pruning + importances)."""
@@ -316,6 +353,15 @@ def main():
 
     waveome_tpu.set_precision("float32")
 
+    # don't touch jax.devices()/default_backend() before the probe — a
+    # failed backend init is cached for the process
+    want_tpu = "cpu" not in os.environ.get("JAX_PLATFORMS", "axon").lower()
+    if want_tpu and not _wait_for_backend():
+        return _emit({"metric": "penalized_gp_fits_per_min",
+                      "value": None, "unit": "models/min",
+                      "vs_baseline": None,
+                      "error": "tpu backend unavailable"})
+
     which = os.environ.get("BENCH_WORKLOAD", "all")
     if which == "gaussian":
         return main_gaussian()
@@ -327,7 +373,12 @@ def main():
         return main_largen()
 
     g = main_gaussian()
-    nb = main_nb()
+    try:
+        nb = main_nb()
+    except Exception as e:  # noqa: BLE001 — same worker-crash guard as
+        # the search stage below
+        print(f"# nb bench failed: {e}", file=sys.stderr)
+        nb = {"value": None, "vs_baseline": None}
     try:
         se = main_search()
     except Exception as e:  # noqa: BLE001 — a search-path failure (the
