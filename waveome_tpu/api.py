@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from .config import default_float
 from .fit import fit_outcomes_penalized
 from .interpret.metrics import calc_bic
 from .kernels.build import full_kernel_build

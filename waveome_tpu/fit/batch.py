@@ -22,7 +22,7 @@ import numpy as np
 from ..kernels.spec import KernelSpec
 from ..likelihoods import needs_loss_guard
 from ..models import svgp
-from ..optimize.lbfgs import LBFGSCarry, lbfgs_fit
+from ..optimize.lbfgs import lbfgs_fit
 from ..optimize.plbfgs import plbfgs_fit
 from ..parallel import mesh as meshlib
 from .penalized import (

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..interpret.metrics import calc_bic
 from ..kernels.gram import component_variances, constrain
-from ..models import gpr, svgp
+from ..models import svgp
 from ..optimize import lbfgs_fit
 from ..priors import laplace_log_prob, uniform_log_prob
 

@@ -16,7 +16,7 @@ matching the reference's SLURM-array pattern).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

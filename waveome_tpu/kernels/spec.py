@@ -28,7 +28,6 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..bijectors import softplus_inv
 from ..config import default_float
 from . import ops
 

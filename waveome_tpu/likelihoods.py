@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

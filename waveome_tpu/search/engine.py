@@ -14,7 +14,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 from .._variants import variant_logged
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

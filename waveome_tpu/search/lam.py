@@ -21,7 +21,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 from .._variants import variant_logged
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ softmax(−BIC normalized); repeat independent search trials keeping the best.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
