@@ -17,11 +17,11 @@ Ablation matrix (each flag removes one suspect):
     PNM_NO_SCATTER=1  — no .at[].set inside the loop body
     PNM_NO_CVJP=1     — raw pallas_call forward (jvp-less): fwd-only
     PNM_XLA=1         — same composition, jnp gram instead of Pallas
+    PNM_INTERPRET=1   — Pallas interpret mode (runs on CPU)
 
 Healthy output: grad finite at every loop iteration for all batch
 members. Bug signature: iteration>=1 grads all-NaN only in the full
-composition. Run on the TPU (the axon backend); CPU interpret mode has
-not reproduced it.
+composition. The production bug manifests on the TPU (axon backend).
 """
 
 import os
@@ -58,6 +58,7 @@ def main():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((N, N), x.dtype),
+            interpret=bool(os.environ.get("PNM_INTERPRET")),
         )(x, p)
 
     if XLA:
