@@ -112,3 +112,23 @@ def test_prune_latent_factors_mask():
     params["W"] = jnp.asarray(np.full((2, 3), 0.01))
     mask = np.asarray(lmc.prune_latent_factors(config, params, 0.1))
     assert mask.sum() == 1
+
+
+def test_lam_canonicalized_out_of_program_key():
+    """Configs differing only in penalization_factor must map to ONE
+    jitted LMC program (lambda enters traced; compiling per-lambda was
+    the suite's duplicate-program cost)."""
+    import dataclasses
+
+    from waveome_tpu.models.lmc import _canon_config
+
+    spec = single("squared_exponential", 1)
+    base = lmc.LMCConfig(
+        latent_specs=(spec,),
+        likelihood=svgp.make_config(spec, "gaussian", 1, 1).likelihood,
+        num_inducing=10, num_outputs=2, input_dim=2,
+        penalization_factor=1.0,
+    )
+    other = dataclasses.replace(base, penalization_factor=37.5)
+    assert _canon_config(base) == _canon_config(other)
+    assert hash(_canon_config(base)) == hash(_canon_config(other))
