@@ -157,6 +157,17 @@ def main():
             max_depth=int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
             num_restart=int(os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
             num_inducing_points=int(os.environ.get("IHMP_M", "128")),
+            # chunked resumable sweep: bounds each depth's candidate batch
+            # to chunk_size x candidates models on the device and survives
+            # interruption (the reference runs this workload as 40 Ray
+            # jobs under a 12 h SLURM limit, ihmp_waveome_hpc_run.py:176)
+            sweep_options={
+                "checkpoint_dir": os.environ.get(
+                    "IHMP_SEARCH_CKPT",
+                    os.path.join(OUT_DIR, "search_ckpt")),
+                "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
+            },
+            verbose=bool(int(os.environ.get("IHMP_VERBOSE", "0"))),
         )
         mins = (time.time() - t0) / 60.0
         out = {

@@ -167,3 +167,42 @@ def test_penalized_optimization_sweep_mode(tutorial_data, tmp_path):
         np.testing.assert_allclose(gps2.models[c].raw_importances,
                                    gps1.models[c].raw_importances)
         assert gps2.models[c].kernel_name == gps1.models[c].kernel_name
+
+
+def test_run_search_sweep_mode(tutorial_data, tmp_path):
+    """run_search(sweep_options=) chunks outcomes through the resumable
+    search sweep (search/sweep.py); a second call rehydrates FittedGP
+    handles from the checkpoint whose predictions match the fresh fit."""
+    X_df, Y_df = tutorial_data
+    from waveome_tpu import GPSearch
+
+    ck = str(tmp_path / "search_ck")
+
+    def build():
+        gps = GPSearch(X=X_df, Y=Y_df, unit_col="id",
+                       categorical_vars=["female"],
+                       Y_transform="standardize")
+        gps.run_search(
+            kernels=("squared_exponential", "linear"),
+            max_depth=1, num_restart=1, max_iter=100,
+            num_inducing_points=100, random_seed=3,
+            sweep_options={"checkpoint_dir": ck, "chunk_size": 2},
+        )
+        return gps
+
+    gps1 = build()
+    assert set(gps1.models) == set(Y_df.columns)
+
+    gps2 = build()  # rehydrates from the checkpoint
+    for c in Y_df.columns:
+        assert gps2.models[c].kernel_name == gps1.models[c].kernel_name
+        assert gps2.models[c].bic == gps1.models[c].bic
+        np.testing.assert_allclose(
+            gps2.search_info[c]["var_exp"], gps1.search_info[c]["var_exp"])
+        mu1, _ = gps1.models[c].predict_y(gps1.X.to_numpy())
+        mu2, _ = gps2.models[c].predict_y(gps2.X.to_numpy())
+        np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu1),
+                                   rtol=1e-5, atol=1e-6)
+    # heatmap frame builds from rehydrated search_info
+    frame = gps2.importance_frame()
+    assert set(frame.index) == set(Y_df.columns)

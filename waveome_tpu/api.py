@@ -440,6 +440,7 @@ class GPSearch:
         max_iter: int = 200,
         random_seed: Optional[int] = None,
         verbose: bool = False,
+        sweep_options: Optional[dict] = None,
         **_compat,
     ) -> None:
         """Greedy kernel-structure search per outcome
@@ -448,7 +449,15 @@ class GPSearch:
         ``softmax_select`` enables stochastic exploration
         (model_search.py:3535-3627); ``split`` scores candidates on a
         unit-level holdout instead of BIC (split_kernel_search,
-        model_search.py:3275-3532)."""
+        model_search.py:3275-3532).
+
+        ``sweep_options`` routes the search through the chunked,
+        checkpoint/resume sweep driver (search/sweep.py) — outcomes
+        advance in device-memory-bounded chunks and persist as each chunk
+        completes (the reference's Ray batches of 5*num_cpus outcomes
+        under a SLURM wall limit, model_search.py:1149-1222, lose
+        in-flight work on a crash). Keys: ``checkpoint_dir``,
+        ``chunk_size`` (default 64), ``partition_across_hosts``."""
         from .search.greedy import multi_outcome_kernel_search
 
         _warn_unknown_kwargs("run_search", _compat)
@@ -465,12 +474,9 @@ class GPSearch:
         # lockstep search: every outcome's candidate batch at each depth
         # fits in one program (replaces per-outcome Ray workers,
         # model_search.py:1149-1222)
-        results = multi_outcome_kernel_search(
-            X=self.X.to_numpy(),
-            Ys=self.Y.to_numpy(),
+        search_kwargs = dict(
             kern_list=list(kernels),
             cat_vars=self.cat_idx,
-            out_names=self.out_names,
             max_depth=max_depth,
             early_stopping=early_stopping,
             prune=prune,
@@ -487,6 +493,27 @@ class GPSearch:
             random_seed=random_seed,
             verbose=verbose,
         )
+        if sweep_options is not None:
+            from .search.sweep import run_search_sweep
+
+            sweep_options = dict(sweep_options)
+            results = run_search_sweep(
+                X=self.X.to_numpy(),
+                Ys=self.Y.to_numpy(),
+                out_names=self.out_names,
+                checkpoint_dir=sweep_options.get("checkpoint_dir"),
+                chunk_size=sweep_options.get("chunk_size", 64),
+                partition_across_hosts=sweep_options.get(
+                    "partition_across_hosts", True),
+                **search_kwargs,
+            )
+        else:
+            results = multi_outcome_kernel_search(
+                X=self.X.to_numpy(),
+                Ys=self.Y.to_numpy(),
+                out_names=self.out_names,
+                **search_kwargs,
+            )
         for feat, res in results.items():
             self.models[feat] = res["best_model"]
             self.search_info[feat] = res
