@@ -175,6 +175,13 @@ def main():
             "n_metabolites": len(gps.models),
             "wall_minutes": round(mins, 2),
             "outcomes_per_min": round(len(gps.models) / max(mins, 1e-9), 2),
+            "config": {
+                "max_depth": int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
+                "num_restart": int(
+                    os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
+                "num_inducing": int(os.environ.get("IHMP_M", "128")),
+                "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
+            },
             "best_models": {o: m.kernel_name
                             for o, m in gps.models.items()},
             "var_explained": {o: gps.search_info[o]["var_exp"]
