@@ -206,3 +206,18 @@ def test_run_search_sweep_mode(tutorial_data, tmp_path):
     # heatmap frame builds from rehydrated search_info
     frame = gps2.importance_frame()
     assert set(frame.index) == set(Y_df.columns)
+
+
+def test_gpsearch_pickle_roundtrip(fitted_gps):
+    """The reference's documented persistence is pickling the whole
+    GPSearch object (ihmp_waveome_hpc_run.py:179-180); the functional
+    handles must survive the round trip with identical predictions."""
+    import pickle
+
+    gps = fitted_gps
+    g2 = pickle.loads(pickle.dumps(gps))
+    name = gps.Y.columns[0]
+    mu1, _ = gps.models[name].predict_y(gps.X.to_numpy())
+    mu2, _ = g2.models[name].predict_y(g2.X.to_numpy())
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu1))
+    assert g2.models[name].kernel_name == gps.models[name].kernel_name
