@@ -191,6 +191,18 @@ def main():
             json.dump(out, f, indent=2)
         print(json.dumps({k: out[k] for k in
                           ("n_metabolites", "wall_minutes")}))
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+
+            # search-mode importances are fractional variance explained
+            # (var_exp in [0,1]); keep components explaining >=5% somewhere
+            fig = gps.plot_heatmap(var_cutoff=0.05, figsize=(14, 18))
+            fig.savefig(os.path.join(OUT_DIR, "search_heatmap.png"),
+                        dpi=110, bbox_inches="tight")
+            print("saved search_heatmap.png")
+        except Exception as e:  # artifacts must not void the run
+            print(f"search heatmap failed: {e}", file=sys.stderr)
         return
 
     t0 = time.time()
