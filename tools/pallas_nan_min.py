@@ -43,18 +43,25 @@ def main():
     XLA = bool(os.environ.get("PNM_XLA"))
     N = 128  # one (8,128)-aligned tile
 
+    # x is (N, 1) — 2-D like the production gram inputs, so the
+    # pallas_call vmap batching rule's (Squeezed(), N, 1) block mapping
+    # lowers cleanly (a 1-D (N,) input batched to (B, N) produces a
+    # (1, 128) block that FAILS the mosaic (8,128) tiling check — the
+    # first concrete evidence the fragile component is the default
+    # batching rule itself).
     def se_gram_ref(x, v, ls):
-        d = x[:, None] - x[None, :]
+        d = x[:, 0][:, None] - x[:, 0][None, :]
         return v * jnp.exp(-0.5 * d * d / (ls * ls))
 
     def kernel(x_ref, p_ref, o_ref):
-        x = x_ref[...]
-        v, ls = p_ref[0], p_ref[1]
+        x = x_ref[...][:, 0]
+        v, ls = p_ref[0, 0], p_ref[0, 1]
         d = x[:, None] - x[None, :]
         o_ref[...] = v * jnp.exp(-0.5 * d * d / (ls * ls))
 
     def gram_pallas_raw(x, v, ls):
-        p = jnp.stack([v, ls])
+        p = jnp.stack([v, ls])[None, :]  # (1, 2): 2-D so the vmap
+        # batching rule's (Squeezed(), 1, 2) block passes mosaic tiling
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((N, N), x.dtype),
@@ -74,14 +81,15 @@ def main():
             return gram(x, v, ls), (x, v, ls)
 
         def bwd(res, g):
-            x, v, ls = res
+            x2, v, ls = res
+            x = x2[:, 0]
             d = x[:, None] - x[None, :]
             e = jnp.exp(-0.5 * d * d / (ls * ls))
             K = v * e
             gv = jnp.sum(g * e)
             gls = jnp.sum(g * K * d * d / (ls ** 3))
             gx = 2.0 * jnp.sum(g * K * (-d) / (ls * ls), axis=1)
-            return gx, gv, gls
+            return gx[:, None], gv, gls
 
         gram.defvjp(fwd, bwd)
 
@@ -93,7 +101,7 @@ def main():
         # a cholesky in the objective like the real ELBO
         L = jnp.linalg.cholesky(K + 0.05 * jnp.eye(N, dtype=x.dtype))
         alpha = jax.scipy.linalg.solve_triangular(
-            L, x - flat[2], lower=True)
+            L, x[:, 0] - flat[2], lower=True)
         return 0.5 * jnp.sum(alpha ** 2) + jnp.sum(jnp.log(jnp.diag(L)))
 
     def fit(flat0, x):
@@ -122,7 +130,7 @@ def main():
 
     B = 4
     key = jax.random.PRNGKey(0)
-    xs = jax.random.normal(key, (B, N), dtype=jnp.float32)
+    xs = jax.random.normal(key, (B, N, 1), dtype=jnp.float32)
     flats = jnp.tile(jnp.array([0.5, 0.3, 0.0], jnp.float32), (B, 1))
 
     mode = ("XLA" if XLA else "pallas") + (

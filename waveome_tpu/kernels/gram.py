@@ -41,18 +41,31 @@ from .spec import KernelSpec
 # (pallas_ops/gram_pallas.py — measured 1.5x over the XLA fusion at N=512;
 # forward-only, gradients replay the XLA path via custom_vjp).
 #
-# DEFAULT OFF: values and gradients verify exactly against the XLA path
-# standalone, under vmap, nested vmap, AND inside a hand-rolled
-# vmap(while_loop(trials + lax.cond(grad))) harness with the same
-# Cholesky-based loss (tools/pallas_check.py + bisection scripts, v5e
-# chip). But inside the REAL optimize/plbfgs.py loop under vmap, the
-# first post-step gradient comes back NaN for every batch member and
-# fits silently stop after one iteration — independent of the horseshoe
-# prior and of whether the loop bound is traced, so the remaining
-# suspects are plbfgs's static-subset gather/scatter
-# (flat0.at[free_idx].set) or the L-BFGS two-loop fori_loops composing
-# with the Pallas custom_vjp under batching. Until that is root-caused,
-# the optimizer hot path stays on the XLA gram; set
+# DEFAULT OFF — root-caused in round 3 to a composition-dependent XLA
+# miscompile around the pallas_call, NOT a kernel or waveome bug
+# (tools/pallas_nan_bisect.py ablation matrix, v5e chip):
+#   * kernel values verify exactly vs XLA standalone, under vmap, nested
+#     vmap, and in a toy vmap(while_loop(trials + lax.cond(grad))) loop;
+#   * the production signature (every vmapped plbfgs fit stopping at
+#     iter 1 with a NaN first post-step gradient AND garbage trial
+#     losses) reproduces in a ~60-line harness: vmap(plbfgs_fit) over a
+#     Cholesky loss whose gram is the custom_vjp Pallas call, with a
+#     MULTI-COLUMN design (D >= 2). D = 1 compiles correctly; the same
+#     program with X pre-padded to 8 columns AT THE TOP LEVEL compiles
+#     correctly (losses match the XLA control to 6 digits); padding to
+#     8 columns INSIDE the jitted function — producing bit-identical
+#     pallas operands and block shapes — still miscompiles. Two
+#     programs whose pallas_call sees identical inputs, one healthy and
+#     one garbage, is a compiler bug, not a kernel bug.
+#   * not the backward (XLA-replay and hand-derived analytic both
+#     reproduce), not the segmented driver (reproduces unsegmented),
+#     not the horseshoe prior, not p0/X/y batching shape, and the
+#     forward-only (no custom_vjp) dispatch is healthy on the full
+#     production path — custom_vjp + multi-column design is the
+#     miscompiling composition.
+# Since the forward-only measurement showed XLA's fusion beating the
+# standalone kernel at production shapes anyway (944 vs 1001 fits/min),
+# the optimizer hot path stays on the XLA gram. Set
 # WAVEOME_PALLAS_GRAM=1 to opt in for inference-style calls.
 _PALLAS_GRAM = os.environ.get("WAVEOME_PALLAS_GRAM", "0") == "1"
 _PALLAS_MIN_N = 256

@@ -118,21 +118,38 @@ def _gram_pallas_impl(spec, raw, X1, X2, component_mask, interpret):
     X1p = _pad_to(X1, TILE_N, 0)
     # X2 transposed so the lane (128) dimension is the column index
     X2p = _pad_to(X2, TILE_M, 0).T  # (D, Mp)
+    # CRITICAL: pad the feature axis to a sublane multiple (8). Blocks
+    # whose minor dim is 2..7 — e.g. (TILE_N, 2) / (2, TILE_M) for a
+    # two-column design — pass the mosaic tiling check (minor dim equals
+    # the array dim) but are MISCOMPILED in composition with the
+    # surrounding optimizer program on the v5e: the kernel output turns
+    # to garbage and every vmapped L-BFGS fit dies with a NaN first
+    # post-step gradient. Root-caused by the ablation matrix in
+    # tools/pallas_nan_bisect.py (round 3): D=1 healthy, D=2 reproduces,
+    # zero-padding D to 8 restores losses identical to the XLA path.
+    X1p = _pad_to(X1p, 8, 1)
+    X2p = _pad_to(X2p, 8, 0)
+    Dp = X1p.shape[1]
     Np, Mp = X1p.shape[0], X2p.shape[1]
     use_mask = component_mask is not None
 
     grid = (Np // TILE_N, Mp // TILE_M)
     in_specs = [
-        pl.BlockSpec((TILE_N, X1.shape[1]), lambda i, j: (i, 0),
+        pl.BlockSpec((TILE_N, Dp), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((X1.shape[1], TILE_M), lambda i, j: (0, j),
+        pl.BlockSpec((Dp, TILE_M), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(params.shape, lambda i, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # same skinny-minor-dim defence for the param block (C, F, 3 → C, F, 8)
+    params = _pad_to(params, 8, 2)
+    in_specs[2] = pl.BlockSpec(params.shape, lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
     args = [X1p, X2p, params]
     if use_mask:
         cm = component_mask.reshape(1, -1).astype(X1.dtype)
+        cm = _pad_to(cm, 8, 1)
         in_specs.append(
             pl.BlockSpec(cm.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
