@@ -86,14 +86,29 @@ def pred_kernel_parts(
     cat_color_pal=None,
     x_transform=None,
     y_transform=None,
+    **kwargs,
 ):
     """Figure grid of additive component posteriors + residual panel.
+
+    Unknown keyword arguments are accepted with a warning — the
+    reference's ``pred_kernel_parts`` swallows them silently via
+    ``**kwargs`` (predictions.py:25-43; e.g. the Sleeve notebook passes
+    ``unit_label``, which only ``gp_predict_fun`` consumes), so
+    notebook-portability requires accepting them, but silence hides
+    typos.
 
     ``x_transform(dim, values)`` / ``y_transform(values)`` undo the
     standardization for display so axes read in original units (the
     reference reverse-transforms inside GPSearch.plot_parts,
     model_search.py:1445-1510).
     """
+    if kwargs:
+        import warnings
+
+        warnings.warn(
+            f"pred_kernel_parts: ignoring unsupported plot option(s) "
+            f"{sorted(kwargs)} (the reference accepts-and-ignores these "
+            f"too, predictions.py:43)", stacklevel=2)
     categorical_dict = categorical_dict or {}
     x_transform = x_transform or _identity_x
     y_transform = y_transform or _identity_y
@@ -402,18 +417,58 @@ def plot_heatmap(
 
 
 def plot_feature_metrics(importance_df, feature_name: str,
-                         return_df: bool = False, figsize=(6, 4)):
+                         print_drop_count: bool = False,
+                         return_df: bool = False,
+                         top_n: Optional[int] = None,
+                         min_total_explained: float = 0.8,
+                         figsize=(6, 4)):
     """Ranked bar chart of one feature's importance across outcomes
-    (model_search.py:1512-1596)."""
-    cols = [c for c in importance_df.columns if feature_name in c]
-    if not cols:
-        raise ValueError(f"No components involve feature '{feature_name}'")
-    vals = importance_df[cols].sum(axis=1).sort_values(ascending=False)
+    (model_search.py:1512-1596, reference semantics):
+
+    * an outcome contributes the MAX importance among the additive
+      components that involve ``feature_name`` (bracket match on the
+      component name, as the reference matches ``[idx]`` per term);
+    * outcomes whose total explained share ``1 - residual`` is below
+      ``min_total_explained`` are dropped (model_search.py:1536), as are
+      outcomes whose selected model does not use the feature;
+    * ``top_n`` truncates after the descending sort; ``return_df``
+      returns the name/metric frame instead of the figure.
+    """
+    import pandas as pd
+
+    n_feature_drops = 0
+    n_explained_drops = 0
+    names, values = [], []
+    feature_cols = [
+        c for c in importance_df.columns
+        if feature_name in re.findall(r"\[([^\]]+)\]", c)
+    ]
+    for out_name, row in importance_df.iterrows():
+        if "residual" in importance_df.columns:
+            if 1.0 - float(row["residual"]) < min_total_explained:
+                n_explained_drops += 1
+                continue
+        active = [c for c in feature_cols if row[c] != 0.0]
+        if not active:
+            n_feature_drops += 1
+            continue
+        names.append(out_name)
+        values.append(float(max(row[c] for c in active)))
+    if print_drop_count:
+        print(f"Number of models dropped because feature not present: "
+              f"{n_feature_drops}")
+        print(f"Number of models dropped because of explained threshold "
+              f"not met: {n_explained_drops}")
+    metric_df = pd.DataFrame({"name": names, "metric": values}).sort_values(
+        "metric", ascending=False)
+    if top_n is not None:
+        metric_df = metric_df.head(top_n)
     if return_df:
-        return vals.to_frame(name=feature_name)
+        return metric_df
     fig, ax = plt.subplots(figsize=figsize)
-    vals.plot.bar(ax=ax)
-    ax.set_ylabel(f"importance of {feature_name}")
+    if not metric_df.empty:
+        sns.barplot(data=metric_df, y="name", x="metric", ax=ax)
+    ax.set_xlabel(f"importance of {feature_name}")
     fig.tight_layout()
     return fig, ax
 
