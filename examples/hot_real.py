@@ -168,7 +168,8 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
 
-        fig = gps.plot_heatmap(var_cutoff=2.0, figsize=(14, 18))
+        fig = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=2.0,
+                               figsize=(14, 18))
         fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
                     bbox_inches="tight")
         print("saved heatmap.png")

@@ -197,7 +197,8 @@ def main():
 
             # search-mode importances are fractional variance explained
             # (var_exp in [0,1]); keep components explaining >=5% somewhere
-            fig = gps.plot_heatmap(var_cutoff=0.05, figsize=(14, 18))
+            fig = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=0.05,
+                                   figsize=(14, 18))
             fig.savefig(os.path.join(OUT_DIR, "search_heatmap.png"),
                         dpi=110, bbox_inches="tight")
             print("saved search_heatmap.png")
@@ -309,7 +310,8 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
 
-        fig = gps.plot_heatmap(var_cutoff=2.0, figsize=(14, 18))
+        fig = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=2.0,
+                               figsize=(14, 18))
         fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
                     bbox_inches="tight")
         print("saved heatmap.png")

@@ -93,8 +93,16 @@ def test_importance_frame_and_heatmap(fitted_gps):
     assert "residual" in df.columns
     # column names rewritten to variable names (utilities.py:266-278)
     assert any("time" in c for c in df.columns)
-    g = gps.plot_heatmap()
+    g = gps.plot_heatmap(var_cutoff=0.0)
     assert g is not None
+    # reference filtering semantics (model_search.py:1299-1347):
+    # metric_cutoff on the best component, feature_name subsetting
+    g = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=0.01,
+                         feature_name="time")
+    assert g is not None
+    # an unpassable cutoff trips the reference's own assert
+    with pytest.raises(AssertionError, match="Not enough models"):
+        gps.plot_heatmap(var_cutoff=2.0)
 
     fig, ax = gps.plot_feature_metrics("time")
     assert fig is not None

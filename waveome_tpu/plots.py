@@ -386,34 +386,118 @@ def gp_predict_fun(
 
 def plot_heatmap(
     importance_df,
-    var_cutoff: float = 0.0,
-    feature_filter: Optional[Sequence[str]] = None,
-    drop_residual: bool = True,
+    var_cutoff: float = 0.8,
+    metric_cutoff: Optional[float] = None,
+    feature_name: Optional[str] = None,
+    show_vals: bool = True,
+    figsize=None,
     cluster: bool = True,
-    figsize=(10, 8),
-    cmap: str = "viridis",
-    **kwargs,
+    print_drop_count: bool = False,
+    cmap: str = "Greens",
+    **clustermap_kwargs,
 ):
-    """Outcomes × kernel-component importance heatmap
-    (model_search.py:1271-1443)."""
-    df = importance_df.copy()
-    if drop_residual and "residual" in df.columns:
-        df = df.drop(columns=["residual"])
-    if feature_filter:
-        keep = [c for c in df.columns
-                if any(f in c for f in feature_filter)]
-        df = df[keep]
-    df = df.loc[:, (df.abs() > var_cutoff).any(axis=0)]
-    if df.empty:
-        raise ValueError("No components pass the requested cutoffs")
-    if cluster and df.shape[0] > 1:
-        g = sns.clustermap(df, cmap=cmap, figsize=figsize, col_cluster=False,
-                           **kwargs)
-        return g
-    fig, ax = plt.subplots(figsize=figsize)
-    sns.heatmap(df, cmap=cmap, ax=ax, **kwargs)
-    fig.tight_layout()
-    return fig, ax
+    """Kernel-features × outcomes importance heatmap with the reference's
+    filtering semantics (model_search.py:1271-1443):
+
+    * ``var_cutoff`` drops OUTCOMES whose total explained share
+      ``1 - residual`` is below the cutoff (:1339-1341);
+    * ``metric_cutoff`` additionally requires the outcome's best
+      component importance to reach the cutoff (:1344-1347) — the right
+      knob for unbounded scales like log Bayes factors;
+    * ``feature_name`` keeps only outcomes whose model uses the feature,
+      displaying just that feature's components (:1299-1333);
+    * the grid is transposed (features on rows, outcomes on columns),
+      clustered both ways when ``cluster``, with zero cells un-annotated
+      (:1373-1440).
+    """
+    import pandas as pd
+
+    n_feature_drops = 0
+    n_explained_drops = 0
+    have_resid = "residual" in importance_df.columns
+    comp_cols = [c for c in importance_df.columns if c != "residual"]
+    if feature_name is not None:
+        feature_cols = [
+            c for c in comp_cols
+            if feature_name in re.findall(r"\[([^\]]+)\]", c)
+        ]
+    rows = {}
+    for out_name, row in importance_df.iterrows():
+        cols = comp_cols
+        if feature_name is not None:
+            cols = [c for c in feature_cols if row[c] != 0.0]
+            if not cols:
+                n_feature_drops += 1
+                continue
+        if have_resid and 1.0 - float(row["residual"]) < var_cutoff:
+            n_explained_drops += 1
+            continue
+        vals = {c: float(row[c]) for c in cols if row[c] != 0.0}
+        if metric_cutoff is not None:
+            if not vals or max(vals.values()) < metric_cutoff:
+                n_explained_drops += 1
+                continue
+        rows[out_name] = vals
+    if print_drop_count:
+        if feature_name is not None:
+            print(f"Number of models dropped because feature not present: "
+                  f"{n_feature_drops}")
+        print(f"Number of models dropped because of explained threshold "
+              f"not met: {n_explained_drops}")
+    out_info = pd.DataFrame(rows).T.fillna(0.0)
+
+    if cluster:
+        assert len(out_info.index) > 1, (
+            "Not enough models meet criteria (clustermap) requested!"
+            f"  (N={len(out_info.index)})"
+        )
+    else:
+        assert len(out_info.index) > 0, (
+            "Not enough models meet criteria (heatmap) requested!"
+            f" (N={len(out_info.index)})"
+        )
+    if figsize is None:
+        # reference's content-scaled sizing (:1389-1400), loosened so a
+        # handful of outcomes still renders readably
+        width = max(0.25 * out_info.shape[0], 4.0)
+        width += 0.06 * max(map(len, map(str, out_info.index)))
+        height = max(0.3 * out_info.shape[1], 2.0)
+        height += 0.06 * max(map(len, map(str, out_info.columns)))
+        figsize = (width, height)
+    clustermap_kwargs.setdefault("dendrogram_ratio", (0.05, 0.05))
+    if "cbar_pos" not in clustermap_kwargs:
+        clustermap_kwargs["cbar_pos"] = (0.5, 0.05, 0.2, 0.03)
+        clustermap_kwargs["cbar_kws"] = {
+            "orientation": "horizontal",
+            "use_gridspec": False,
+            "label": "Feature importance",
+        }
+    clm = sns.clustermap(
+        out_info.transpose(),
+        figsize=figsize,
+        annot=show_vals,
+        annot_kws={"size": 6},
+        robust=True,
+        cmap=cmap,
+        fmt="g",
+        col_cluster=cluster,
+        row_cluster=cluster,
+        **clustermap_kwargs,
+    )
+    ax = clm.ax_heatmap
+    plt.setp(ax.xaxis.get_majorticklabels(), rotation=90,
+             horizontalalignment="center")
+    plt.setp(ax.yaxis.get_majorticklabels(), rotation=0,
+             horizontalalignment="left")
+    if show_vals:
+        for t in ax.texts:
+            if not float(t.get_text()) > 0:
+                t.set_text("")
+    ax.set_xlabel("Outcomes", fontweight="bold", fontsize=8)
+    ax.set_ylabel("Kernel features", fontweight="bold", fontsize=8)
+    ax.get_xaxis().set_tick_params(which="both", labelsize=6)
+    ax.get_yaxis().set_tick_params(which="both", labelsize=6)
+    return clm
 
 
 def plot_feature_metrics(importance_df, feature_name: str,
