@@ -129,6 +129,15 @@ def test_plot_parts_and_marginal(fitted_gps):
     assert fig is not None
     fig, ax = gps.plot_marginal("y_gender", "time")
     assert fig is not None
+    # notebook surface: caller-provided axes, point suppression,
+    # standardized-axes mode (model_search.py:1598-1608)
+    import matplotlib.pyplot as plt
+
+    fig2, ax2 = plt.subplots()
+    fig_out, ax_out = gps.plot_marginal(
+        "y_gender", "time", ax=ax2, plot_points=False,
+        reverse_transform_axes=False)
+    assert ax_out is ax2 and fig_out is fig2
     # notebook portability: the reference's pred_kernel_parts swallows
     # gp_predict_fun-only options like unit_label via **kwargs
     # (predictions.py:43; the Sleeve notebook passes it) — we accept

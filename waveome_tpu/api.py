@@ -693,6 +693,12 @@ class GPSearch:
 
         model = self.models[out_label]
         x_idx = self.feat_names.index(x_axis_label)
+        # reference flag (model_search.py:1606): False (their default)
+        # plots standardized axes; True reverse-transforms tick labels.
+        # We reverse-transform by default, so False maps to identity.
+        if not kwargs.pop("reverse_transform_axes", True):
+            kwargs.setdefault("x_transform", lambda d, v: v)
+            kwargs.setdefault("y_transform", lambda v: v)
         kwargs.setdefault("x_transform", self._x_display_transform())
         kwargs.setdefault("y_transform", self._y_display_transform(out_label))
         return gp_predict_fun(

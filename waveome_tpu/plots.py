@@ -291,6 +291,8 @@ def gp_predict_fun(
     plot_all_units: bool = False,
     random_seed: int = 0,
     n_grid: int = 300,
+    ax=None,
+    plot_points: bool = True,
 ):
     """Marginal posterior along one axis at reference quantiles
     (predictions.py:519-729): other covariates pinned at their
@@ -327,7 +329,10 @@ def gp_predict_fun(
     fmu = np.asarray(fmu)[:, 0]
     fvar = np.asarray(fvar)[:, 0]
 
-    fig, ax = plt.subplots(figsize=figsize)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:  # draw into a caller-provided axes (reference predictions.py:528)
+        fig = ax.figure
     if predict_type == "func":
         mean, lo, hi = (fmu, fmu - conf_level_val * np.sqrt(fvar),
                         fmu + conf_level_val * np.sqrt(fvar))
@@ -378,8 +383,15 @@ def gp_predict_fun(
     ax.plot(x_plot, y_transform(mean), color="C0")
     ax.fill_between(x_plot, y_transform(lo), y_transform(hi),
                     color="lightblue", alpha=0.5)
-    ax.scatter(x_transform(x_idx, X[:, x_idx]), y_transform(Y[:, 0]),
-               s=8, color="k", alpha=0.4)
+    if plot_points:
+        # unit-conditional plots scatter only that unit's observations
+        # (predictions.py:647)
+        if unit_idx is not None and unit_label is not None:
+            keep = X[:, unit_idx] == unit_label
+        else:
+            keep = np.ones(X.shape[0], dtype=bool)
+        ax.scatter(x_transform(x_idx, X[keep, x_idx]),
+                   y_transform(Y[keep, 0]), s=8, color="k", alpha=0.4)
     ax.set_xlabel(col_names[x_idx])
     return fig, ax
 
