@@ -246,6 +246,11 @@ def test_run_search_sweep_mode(tutorial_data, tmp_path):
     # heatmap frame builds from rehydrated search_info
     frame = gps2.importance_frame()
     assert set(frame.index) == set(Y_df.columns)
+    # the search-mode heatmap (fractional var_exp rows + residual) must
+    # render under the reference filtering semantics — this is the
+    # artifact path of the real-data search examples
+    g = gps2.plot_heatmap(var_cutoff=0.0, metric_cutoff=0.05)
+    assert g is not None
 
 
 def test_gpsearch_pickle_roundtrip(fitted_gps):
