@@ -527,9 +527,9 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
     # a sequential linesearch costs every member the slowest member's
     # trial count (optimize/plbfgs.py). Same losses/masks as the zoom
     # variant on this objective.
-    # line-search trials route through the forward-only Pallas gram on
-    # eligible shapes (default ON; kernels/gram.py forward_pallas) — the
-    # gradient evaluation keeps the plain XLA gram
+    # line-search trials can route through the forward-only Pallas gram
+    # on eligible shapes (WAVEOME_PALLAS_TRIALS=1 opt-in; kernels/gram.py
+    # forward_pallas) — the gradient evaluation keeps the plain XLA gram
     from ..kernels.gram import forward_pallas
 
     def first_seg(y, factor, bound, data):
