@@ -168,8 +168,10 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
 
-        fig = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=2.0,
-                               figsize=(14, 18))
+        # thousands of taxa: suppress per-cell annotations and keep only
+        # strongly-driven taxa so the clustered map stays renderable
+        fig = gps.plot_heatmap(var_cutoff=0.0, metric_cutoff=10.0,
+                               show_vals=False, figsize=(28, 8))
         fig.savefig(os.path.join(OUT_DIR, "heatmap.png"), dpi=110,
                     bbox_inches="tight")
         print("saved heatmap.png")
