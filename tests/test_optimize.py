@@ -220,3 +220,27 @@ def test_random_restart_picks_best():
     )
     single_loss = float(lbfgs_fit(loss, params, mask=mask, max_iter=150).loss)
     assert float(best_loss) <= single_loss + 1e-6
+
+
+def test_plbfgs_trial_sequential_matches_vmap():
+    """trial_sequential=True (lax.map trial grid — the large-N memory
+    guard, fit/batch.py) must follow the identical optimization
+    trajectory as the vmapped grid."""
+    from waveome_tpu.optimize.plbfgs import plbfgs_fit
+
+    A = jnp.asarray(rng.normal(size=(6, 6)))
+    A = A @ A.T + 6 * jnp.eye(6)
+    b = jnp.asarray(rng.normal(size=6))
+
+    def loss(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    mask = {"x": np.ones(6, dtype=bool)}
+    r_vmap = plbfgs_fit(loss, {"x": jnp.zeros(6)}, mask, max_iter=60)
+    r_seq = plbfgs_fit(loss, {"x": jnp.zeros(6)}, mask, max_iter=60,
+                       trial_sequential=True)
+    np.testing.assert_allclose(np.asarray(r_seq.params["x"]),
+                               np.asarray(r_vmap.params["x"]),
+                               rtol=0, atol=0)
+    assert int(r_seq.num_iters) == int(r_vmap.num_iters)

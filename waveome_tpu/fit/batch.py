@@ -493,6 +493,12 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
     tol = 3e-5 if f32_mode else 1e-8
     var_cap = 1e3
     M, D = config.num_inducing, config.input_dim
+    # large-N memory guard: the vmapped 4-trial line search multiplies
+    # the objective's live gram memory by the trial count — at N=4096,
+    # B=32 that is a (B, 4, N²) buffer past a v5e HBM. Sequential trials
+    # (lax.map) keep the FLOPs and trial values identical; the outcome
+    # batch axis still fills the chip (optimize/plbfgs.py).
+    trial_sequential = M >= 2048
     dummy = svgp.init_params(config, jnp.zeros((M, D), dtype=dtype),
                              key=jax.random.PRNGKey(0), dtype=dtype)
     mask_np = jax.tree.map(np.asarray, svgp.train_mask(config, dummy))
@@ -538,6 +544,7 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
         return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
                           trial_loss_fn=forward_pallas(loss),
+                          trial_sequential=trial_sequential,
                           return_carry=True)
 
     def next_seg(carry, y, factor, bound, data):
@@ -546,6 +553,7 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
         return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
                           trial_loss_fn=forward_pallas(loss),
+                          trial_sequential=trial_sequential,
                           carry=carry, return_carry=True)
 
     def first_seg_b(y, factor, bound, p0, data):
@@ -555,6 +563,7 @@ def _seg_fit_fns(config, exact_gaussian: bool, iterative: bool,
         return plbfgs_fit(loss, p0,
                           mask=mask_np, max_iter=bound, tol=tol,
                           trial_loss_fn=forward_pallas(loss),
+                          trial_sequential=trial_sequential,
                           return_carry=True)
 
     first_fn = jax.jit(jax.vmap(first_seg, in_axes=(0, 0, None, None)))

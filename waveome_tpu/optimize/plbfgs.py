@@ -110,8 +110,19 @@ def plbfgs_fit(
     patience: int = 8,
     min_iter: int = 0,
     trial_loss_fn: Optional[Callable] = None,
+    trial_sequential: bool = False,
 ):
     """Minimize ``loss_fn(params)`` over the masked free subset.
+
+    ``trial_sequential``: evaluate the line-search trial grid with
+    ``lax.map`` instead of ``vmap``. Same trial values and FLOPs, but the
+    grid stops multiplying the objective's live memory by the trial
+    count — at N=4096 the vmapped trials materialize a
+    (outcomes, trials, N²) gram buffer that exceeds a v5e HBM (34 GB at
+    B=32), while sequential trials fit. The outcome batch axis already
+    saturates the chip, so serializing the 4 trials costs little
+    wall-clock at large N. Callers flip this above a size threshold
+    (fit/batch.py).
 
     ``mask``: a numpy pytree (STATIC) enables subset optimization — the
     optimization vector holds only the free entries (L-BFGS history
@@ -183,7 +194,11 @@ def plbfgs_fit(
         slope = state.g @ direction
 
         steps = state.stepsize * trials
-        fs = jax.vmap(lambda t: f_trial(state.x + t * direction))(steps)
+        trial_f = lambda t: f_trial(state.x + t * direction)  # noqa: E731
+        if trial_sequential:
+            fs = jax.lax.map(trial_f, steps)
+        else:
+            fs = jax.vmap(trial_f)(steps)
         armijo = fs <= state.f_val + armijo_c1 * steps * slope
         any_ok = jnp.any(armijo)
         fs_sel = jnp.where(any_ok, jnp.where(armijo, fs, big), fs)
