@@ -446,7 +446,11 @@ def _segmented_gaussian_fit(
         np.dtype(dtype).name,
     )
 
-    FIN_CHUNK = 32
+    # bound the finalize chunk by live memory, not just count: optimal_q
+    # holds several (chunk, M, M) temps at once, so keep
+    # chunk x M^2 x 4B under ~512 MB (M=500 → 32; M=4096 → 7)
+    M_ind = config.num_inducing
+    FIN_CHUNK = max(1, min(32, (512 << 20) // (4 * M_ind * M_ind)))
     p_parts, cm_parts, fm_parts, imp_parts = [], [], [], []
     for lo in range(0, B, FIN_CHUNK):
         sl = slice(lo, min(lo + FIN_CHUNK, B))
