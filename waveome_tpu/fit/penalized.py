@@ -45,8 +45,14 @@ class PenalizedFitResult(NamedTuple):
 
 
 def auto_penalization_factor(sigma_hat, n_obs, num_var_components,
-                             dtype=jnp.float64):
+                             dtype=None):
     """2·1.1·σ̂·√N·Φ⁻¹(1 − 0.1/(2p)) (model_search.py:284-289)."""
+    if dtype is None:
+        # f64 under x64 parity mode, else the f32 fast path — requesting
+        # f64 unconditionally only triggers a truncation warning.
+        import jax
+
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
     p = jnp.asarray(num_var_components, dtype=dtype)
     return (
         2.0 * 1.1 * sigma_hat * jnp.sqrt(jnp.asarray(n_obs, dtype=dtype))
