@@ -246,3 +246,93 @@ def test_gpsearch_run_search_accepts_num_restart():
         gps.run_search(kernels=["squared_exponential"], max_depth=1,
                        num_restart=2, max_iter=150, random_seed=0)
     assert gps.models["y"].kernel_name
+
+
+def test_warm_raw_component_matching():
+    """_warm_raw maps a parent's fitted raws into the matching child slots:
+    exact factor-multiset matches, the one-extra-factor product extension,
+    and the one-fewer-factor prune candidate; unmatched slots keep the
+    default init."""
+    from waveome_tpu.search.greedy import _warm_raw
+
+    se1 = Primitive("squared_exponential", 1)
+    cat0 = Primitive("categorical", 0)
+    parent = KernelSpec(((cat0,), (se1,)))
+    praw = parent.padded().init_raw_params_np()
+    praw[0, 0, 0] = 7.0   # cat[0] variance slot
+    praw[1, 0, 1] = -3.5  # se[1] lengthscale slot
+
+    # sum expansion: cat[0]+se[1]+lin[1] — both parent components map over
+    lin1 = Primitive("linear", 1)
+    child = KernelSpec(((cat0,), (se1,), (lin1,)))
+    raw = _warm_raw(child, parent, praw)
+    assert raw[0, 0, 0] == 7.0
+    assert raw[1, 0, 1] == -3.5
+    default = child.padded().init_raw_params_np()
+    np.testing.assert_array_equal(raw[2], default[2])  # fresh component
+
+    # product extension: cat[0] + se[1]*lin[1] — the extended component
+    # inherits se[1]'s params via the one-extra-factor fallback
+    child = KernelSpec(((cat0,), (se1, Primitive("linear", 1,
+                                                 train_variance=False))))
+    raw = _warm_raw(child, parent, praw)
+    assert raw[0, 0, 0] == 7.0
+    # se factor row inside the product keeps the parent's lengthscale
+    se_row = [j for j, p in enumerate(child.components[1])
+              if p.op == "squared_exponential"][0]
+    assert raw[1, se_row, 1] == -3.5
+
+    # prune candidate: drop se[1] from a product — one-fewer-factor match
+    prod_parent = KernelSpec(((se1, lin1),))
+    ppraw = prod_parent.padded().init_raw_params_np()
+    ppraw[0, 0, 1] = 2.25  # se lengthscale inside the product
+    child = KernelSpec(((se1,),))
+    raw = _warm_raw(child, prod_parent, ppraw)
+    assert raw[0, 0, 1] == 2.25
+
+
+def test_full_search_warm_start_recovers_structure():
+    """warm_start=True (expansion candidates start from the parent's
+    optimum) still recovers the planted structure and returns a usable
+    fitted model."""
+    rng = np.random.default_rng(5)
+    n_units, n_per = 8, 6
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    Y = (np.sin(1.8 * t) + 0.15 * rng.normal(size=n_units * n_per))[:, None]
+    res = full_kernel_search(
+        X, Y, kern_list=["squared_exponential"], cat_vars=[0],
+        max_depth=2, num_restart=2, max_iter=150, random_seed=0,
+        warm_start=True,
+    )
+    assert "squared_exponential[1]" in res["best_model_name"]
+    ymu, _ = res["best_model"].predict_y(X)
+    r2 = 1 - np.sum((np.asarray(ymu)[:, 0] - Y[:, 0]) ** 2) / np.sum(
+        (Y[:, 0] - Y.mean()) ** 2)
+    assert r2 > 0.8, r2
+
+
+def test_lockstep_warm_start_matches_cold_structure():
+    """Lockstep warm_start recovers the same best structures as the cold
+    run on the standard two-outcome recovery problem."""
+    from waveome_tpu.search.greedy import multi_outcome_kernel_search
+
+    rng = np.random.default_rng(9)
+    n_units, n_per = 8, 6
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    n = X.shape[0]
+    effects = 2.0 * rng.normal(size=n_units)
+    Ys = np.column_stack([
+        np.sin(1.8 * t) + 0.15 * rng.normal(size=n),
+        effects[ids.astype(int)] + 0.2 * rng.normal(size=n),
+    ])
+    warm = multi_outcome_kernel_search(
+        X, Ys, kern_list=["squared_exponential"], cat_vars=[0],
+        out_names=["sin", "intercepts"], max_depth=2, num_restart=1,
+        max_iter=150, random_seed=0, warm_start=True,
+    )
+    assert "squared_exponential[1]" in warm["sin"]["best_model_name"]
+    assert "categorical[0]" in warm["intercepts"]["best_model_name"]

@@ -441,6 +441,7 @@ class GPSearch:
         random_seed: Optional[int] = None,
         verbose: bool = False,
         sweep_options: Optional[dict] = None,
+        warm_start: bool = False,
         **_compat,
     ) -> None:
         """Greedy kernel-structure search per outcome
@@ -457,7 +458,13 @@ class GPSearch:
         completes (the reference's Ray batches of 5*num_cpus outcomes
         under a SLURM wall limit, model_search.py:1149-1222, lose
         in-flight work on a crash). Keys: ``checkpoint_dir``,
-        ``chunk_size`` (default 64), ``partition_across_hosts``."""
+        ``chunk_size`` (default 64), ``partition_across_hosts``.
+
+        ``warm_start=True`` initializes each expansion candidate's shared
+        structure from its parent's fitted optimum (restart 0 runs
+        unrandomized; remaining restarts stay random) — a TPU-first
+        speedup absent from the reference, whose ``kernel_test`` always
+        fits from fresh inits."""
         from .search.greedy import multi_outcome_kernel_search
 
         _warn_unknown_kwargs("run_search", _compat)
@@ -492,6 +499,7 @@ class GPSearch:
             lik=self.likelihood,
             random_seed=random_seed,
             verbose=verbose,
+            warm_start=warm_start,
         )
         if sweep_options is not None:
             from .search.sweep import run_search_sweep

@@ -131,11 +131,11 @@ class KernelSpec:
         }
 
     # -- parameters --
-    def init_raw_params(self, dtype=None) -> jnp.ndarray:
-        """(C, F, P) unconstrained params at gpflow-default inits (value 1.0,
-        softplus bijector), with frozen Constant placeholders at their fixed
-        variance (model_search.py:2387)."""
-        dtype = dtype or default_float()
+    def init_raw_params_np(self) -> np.ndarray:
+        """(C, F, P) f64 numpy unconstrained params at gpflow-default inits
+        (value 1.0, softplus bijector), with frozen Constant placeholders at
+        their fixed variance (model_search.py:2387). Host-side variant —
+        no device transfer, safe under any x64 setting."""
         spec = self.padded()
         C, F, P = spec.num_components, spec.max_factors, ops.N_PARAM_SLOTS
 
@@ -150,7 +150,12 @@ class KernelSpec:
                     raw[i, j, s] = one
                 if 0 in ops.OP_PARAM_SLOTS[p.code]:
                     raw[i, j, 0] = sp_inv(p.variance_init)
-        return jnp.asarray(raw, dtype=dtype)
+        return raw
+
+    def init_raw_params(self, dtype=None) -> jnp.ndarray:
+        """Device array form of :meth:`init_raw_params_np`."""
+        dtype = dtype or default_float()
+        return jnp.asarray(self.init_raw_params_np(), dtype=dtype)
 
     def _param_exists_np(self) -> np.ndarray:
         spec = self.padded()

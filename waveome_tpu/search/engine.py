@@ -109,18 +109,20 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
         if exp_link:
             mean0 = jnp.log(jnp.maximum(jnp.mean(Y), 1e-6))[None]
             p0["mean_c"] = mean0.astype(dtype)
-        if randomize:
-            k1, k2, k4 = jax.random.split(key, 3)
-            p0["kernel_raw"] = jnp.where(
-                mask["kernel_raw"],
-                jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i
-            )
-            jitter_c = jax.random.normal(k2, (1,), dtype=dtype)
-            p0["mean_c"] = (p0["mean_c"] + jitter_c if exp_link
-                            else jitter_c)
-            p0["q_sqrt_raw"] = jnp.diag(
-                jax.random.exponential(k4, (M,), dtype=dtype)
-            )
+        # restart randomization, selected by the TRACED flag so one
+        # program serves both the deterministic (warm-started) first fit
+        # and the random restarts (same pattern as _cand_adam_fns)
+        k1, k2, k4 = jax.random.split(key, 3)
+        rnd_kraw = jnp.where(
+            mask["kernel_raw"],
+            jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i)
+        jitter_c = jax.random.normal(k2, (1,), dtype=dtype)
+        rnd_mean = p0["mean_c"] + jitter_c if exp_link else jitter_c
+        rnd_qs = jnp.diag(jax.random.exponential(k4, (M,), dtype=dtype))
+        p0["kernel_raw"] = jnp.where(randomize, rnd_kraw,
+                                     p0["kernel_raw"])
+        p0["mean_c"] = jnp.where(randomize, rnd_mean, p0["mean_c"])
+        p0["q_sqrt_raw"] = jnp.where(randomize, rnd_qs, p0["q_sqrt_raw"])
 
         # parallel-linesearch L-BFGS (traced per-candidate mask → full-
         # vector mode): flat trial grid instead of the nested zoom
@@ -175,14 +177,15 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             hold = jnp.zeros((), dtype=dtype)
         return res.params, loglik, hold
 
-    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col):
+    def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col,
+                      rnd_flags):
         if n_fits == 1:
             return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
-                           randomize=False, data=data, y_col=y_col)
+                           randomize=rnd_flags[0], data=data, y_col=y_col)
         params, logliks, holds = jax.vmap(
-            lambda k: one_fit(coded_i, raw_i, kmask_i, k, randomize=True,
-                              data=data, y_col=y_col)
-        )(keys_i)
+            lambda k, r: one_fit(coded_i, raw_i, kmask_i, k, randomize=r,
+                                 data=data, y_col=y_col)
+        )(keys_i, rnd_flags)
         # best restart by max loglik (random_restart_optimize,
         # model_classes.py:511-522), NaN-safe
         ll = jnp.where(jnp.isfinite(logliks), logliks, -jnp.inf)
@@ -193,7 +196,8 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             holds[best],
         )
 
-    return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, 0, 0, None, 0)))
+    return jax.jit(jax.vmap(per_candidate,
+                            in_axes=(0, 0, 0, 0, None, 0, None)))
 
 
 # Non-Gaussian (explicit-q Adam+NatGrad) candidate fits run SEGMENTED:
@@ -313,7 +317,8 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
 
 
 def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
-                              coded, raw0, kmask, keys, data, y_cols_arr):
+                              coded, raw0, kmask, keys, data, y_cols_arr,
+                              det_first=False):
     """Host-side segment loop for non-Gaussian candidate batches.
 
     Restarts are flattened into the batch axis (candidate-major) and the
@@ -332,7 +337,13 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         kmask_b = jnp.repeat(kmask, n_fits, axis=0)
         y_b = jnp.repeat(y_cols_arr, n_fits)
         keys_b = keys.reshape(n_pad * n_fits, 2)
-        randomize = jnp.ones((n_pad * n_fits,), dtype=bool)
+        rnd = np.ones((n_pad, n_fits), dtype=bool)
+        if det_first:
+            # warm-started batches: restart 0 runs from the given init
+            # (the parent's optimum) instead of a random draw — the
+            # randomize flag is traced data, so this is compile-free
+            rnd[:, 0] = False
+        randomize = jnp.asarray(rnd.reshape(-1))
     else:
         coded_b, raw_b, kmask_b, y_b = coded, raw0, kmask, y_cols_arr
         keys_b = keys[:, 0, :]
@@ -392,6 +403,7 @@ def fit_candidates(
     split: bool = False,
     pad_shape=None,
     y_cols: Optional[Sequence[int]] = None,
+    init_raw: Optional[Sequence[Optional[np.ndarray]]] = None,
 ) -> CandidateFit:
     """Fit every candidate spec; return per-candidate best-restart results.
 
@@ -451,10 +463,20 @@ def fit_candidates(
         coded_ops=ops_table,
     )
 
-    raw0 = jnp.stack([
-        jnp.asarray(s.padded(C, F).init_raw_params(dtype=dtype))
-        for s in specs
+    raw_np = np.stack([
+        s.padded(C, F).init_raw_params_np() for s in specs
     ])
+    if init_raw is not None:
+        # warm starts: per-candidate (C_i, F_i, P) overlays in the
+        # candidate's own spec order — padding appends EMPTY rows at the
+        # end (KernelSpec.padded), so a leading-block overlay is aligned.
+        # Pure argument data: the compiled program is unchanged.
+        for i, w in enumerate(init_raw[:n_cand]):
+            if w is None:
+                continue
+            w = np.asarray(w)
+            raw_np[i, :w.shape[0], :w.shape[1], :] = w
+    raw0 = jnp.asarray(raw_np, dtype=dtype)
     kmask = jnp.stack([
         jnp.asarray(np.asarray(s.padded(C, F).train_mask()))
         for s in specs
@@ -489,12 +511,18 @@ def fit_candidates(
     if config.likelihood.name == "gaussian":
         fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
                               np.dtype(dtype).name)
+        # restart-randomization flags (traced data, shared across the
+        # candidate axis): single fits and warm-started batches run
+        # restart 0 from the given init instead of a random draw
+        rnd = np.ones((n_fits,), dtype=bool)
+        if n_fits == 1 or init_raw is not None:
+            rnd[0] = False
         params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
-                                         y_cols_arr)
+                                         y_cols_arr, jnp.asarray(rnd))
     else:
         params, logliks, holds = _fit_candidates_segmented(
             config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
-            keys, data, y_cols_arr)
+            keys, data, y_cols_arr, det_first=init_raw is not None)
 
     # drop bucket-padding duplicates
     params = jax.tree.map(lambda a: a[:n_cand], params)

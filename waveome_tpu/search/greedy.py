@@ -45,6 +45,81 @@ def _sorted_spec(components) -> KernelSpec:
     return KernelSpec(tuple(comps))
 
 
+def _warm_raw(child_spec: KernelSpec, parent_spec: KernelSpec,
+              parent_raw) -> np.ndarray:
+    """Child (C, F, P) init overlaid with the parent's fitted raw params.
+
+    Warm-starting expansion candidates from their parent's optimum
+    (arXiv:2405.18328's warm-start marginal-likelihood observation,
+    applied to the greedy tree) — a TPU-first deviation from the
+    reference's always-fresh ``kernel_test`` inits: shared structure
+    re-converges in a fraction of the iterations, and vmapped batch wall
+    time is set by the SLOWEST candidate in the batch.
+
+    Components are matched by canonical factor-name multiset; an
+    unmatched child component falls back to a parent component whose
+    factor set is the child's minus exactly one factor (the extended
+    component of a product/split_product expansion, which inherits its
+    shared factors' params). Factors map by name within a matched
+    component; everything unmatched keeps the default init.
+    """
+    child = child_spec.padded()
+    raw = child.init_raw_params_np()
+    Cp, Fp = parent_spec.num_components, parent_spec.max_factors
+    praw = np.asarray(parent_raw)[:Cp, :Fp, :]
+
+    def key_of(comp):
+        return tuple(sorted(p.name for p in comp if p.op != "empty"))
+
+    pkeys: Dict[tuple, List[int]] = {}
+    for ci, comp in enumerate(parent_spec.components):
+        pkeys.setdefault(key_of(comp), []).append(ci)
+    used: set = set()
+
+    def take(key):
+        for ci in pkeys.get(key, ()):
+            if ci not in used:
+                used.add(ci)
+                return ci
+        return None
+
+    match: List[Optional[int]] = [None] * len(child.components)
+    for ci, comp in enumerate(child.components):  # exact matches first
+        if key_of(comp):
+            match[ci] = take(key_of(comp))
+    for ci, comp in enumerate(child.components):  # then one-extra-factor
+        names = list(key_of(comp))
+        if match[ci] is not None or len(names) < 2:
+            continue
+        for drop in range(len(names)):
+            m = take(tuple(names[:drop] + names[drop + 1:]))
+            if m is not None:
+                match[ci] = m
+                break
+    for ci, comp in enumerate(child.components):  # then one-fewer-factor
+        names = set(key_of(comp))                 # (pruning candidates)
+        if match[ci] is not None or not names:
+            continue
+        for pkey, rows in pkeys.items():
+            if len(pkey) == len(names) + 1 and names < set(pkey):
+                m = take(pkey)
+                if m is not None:
+                    match[ci] = m
+                    break
+
+    for ci, m in enumerate(match):
+        if m is None:
+            continue
+        src_rows = {p.name: fj
+                    for fj, p in enumerate(parent_spec.components[m])
+                    if p.op != "empty"}
+        for fj, p in enumerate(child.components[ci]):
+            src = src_rows.get(p.name) if p.op != "empty" else None
+            if src is not None and src < Fp:
+                raw[ci, fj, :] = praw[m, src, :]
+    return raw
+
+
 def set_feature_kernels(f: int, kern_list: Sequence[str],
                         cat_vars: Sequence[int]) -> List[Primitive]:
     """Per-feature candidate primitives (model_search.py:2337-2344)."""
@@ -212,6 +287,7 @@ def full_kernel_search(
     X_holdout=None,
     Y_holdout=None,
     split: bool = False,
+    warm_start: bool = False,
 ) -> Dict:
     """The greedy search driver (model_search.py:2987-3272)."""
     rng = np.random.default_rng(random_seed)
@@ -235,7 +311,20 @@ def full_kernel_search(
         if not cands:
             return
         specs = [s for _, s in cands]
-        fits, config = fit_candidates(specs, X, Y, **fit_kwargs)
+        warm = None
+        if warm_start and parent_map:
+            warm = []
+            for name, spec in cands:
+                info = search_dict.get((parent_map or {}).get(name))
+                warm.append(
+                    _warm_raw(spec, info["spec"],
+                              info["params"]["kernel_raw"])
+                    if info is not None else None
+                )
+            if not any(w is not None for w in warm):
+                warm = None
+        fits, config = fit_candidates(specs, X, Y, init_raw=warm,
+                                      **fit_kwargs)
         for i, (name, spec) in enumerate(cands):
             search_dict[name] = {
                 "spec": spec,
@@ -307,7 +396,8 @@ def full_kernel_search(
                 if verbose:
                     print("No better kernel found in layer, exiting search!")
                 if prune:
-                    _run_prune(search_dict, d, X, Y, fit_kwargs, verbose)
+                    _run_prune(search_dict, d, X, Y, fit_kwargs, verbose,
+                               warm_start=warm_start)
                 break
 
         if d != max_depth:
@@ -325,7 +415,8 @@ def full_kernel_search(
                         v["try_next"] = False
 
         if prune:
-            _run_prune(search_dict, d, X, Y, fit_kwargs, verbose)
+            _run_prune(search_dict, d, X, Y, fit_kwargs, verbose,
+                               warm_start=warm_start)
 
     best_name = min(
         (v["bic"], v["depth"], k) for k, v in search_dict.items()
@@ -347,20 +438,27 @@ def full_kernel_search(
     }
 
 
-def _run_prune(search_dict, depth, X, Y, fit_kwargs, verbose):
+def _run_prune(search_dict, depth, X, Y, fit_kwargs, verbose,
+               warm_start=False):
     depth_entries = [(v["bic"], k) for k, v in search_dict.items()
                      if v["depth"] == depth]
     if not depth_entries:
         return
     best_bic, best_name = min(depth_entries)
-    cands = _prune_candidates(best_name, search_dict[best_name]["spec"],
+    best = search_dict[best_name]
+    cands = _prune_candidates(best_name, best["spec"],
                               list(search_dict.keys()))
     if not cands:
         return
     if verbose:
         print(f"Pruning now: {[c[0] for c in cands]}")
     specs = [s for _, s in cands]
-    fits, config = fit_candidates(specs, X, Y, **fit_kwargs)
+    warm = None
+    if warm_start:
+        warm = [_warm_raw(s, best["spec"], best["params"]["kernel_raw"])
+                for s in specs]
+    fits, config = fit_candidates(specs, X, Y, init_raw=warm,
+                                  **fit_kwargs)
     for i, (name, spec) in enumerate(cands):
         if fits.bic[i] < best_bic:
             if verbose:
@@ -525,6 +623,7 @@ def multi_outcome_kernel_search(
     split: bool = False,
     training_percent: float = 0.7,
     unit_idx: Optional[int] = None,
+    warm_start: bool = False,
 ) -> Dict[str, Dict]:
     """Lockstep greedy search over MANY outcomes.
 
@@ -578,6 +677,20 @@ def multi_outcome_kernel_search(
     }
     col = {o: i for i, o in enumerate(out_names)}
 
+    def _warm_list(cands):
+        """Per-candidate warm-start raw arrays from fitted parents
+        (``warm_start`` mode; None entries keep the default init)."""
+        if not warm_start:
+            return None
+        warm = []
+        for o, _name, spec, parent in cands:
+            info = states[o]["search_dict"].get(parent)
+            warm.append(
+                _warm_raw(spec, info["spec"], info["params"]["kernel_raw"])
+                if info is not None else None
+            )
+        return warm if any(w is not None for w in warm) else None
+
     def fit_and_store(cands, depth):
         """cands: list of (outcome, name, spec, parent)."""
         if not cands:
@@ -585,6 +698,7 @@ def multi_outcome_kernel_search(
         specs = [c[2] for c in cands]
         y_cols = [col[c[0]] for c in cands]
         fits, config = fit_candidates(specs, X, Ys, y_cols=y_cols,
+                                      init_raw=_warm_list(cands),
                                       **fit_kwargs)
         for i, (o, name, spec, parent) in enumerate(cands):
             states[o]["search_dict"][name] = {
@@ -691,8 +805,10 @@ def multi_outcome_kernel_search(
         if prune and prune_cands:
             specs = [c[2] for c in prune_cands]
             y_cols = [col[c[0]] for c in prune_cands]
-            fits, config = fit_candidates(specs, X, Ys, y_cols=y_cols,
-                                          **fit_kwargs)
+            fits, config = fit_candidates(
+                specs, X, Ys, y_cols=y_cols,
+                init_raw=_warm_list([c[:4] for c in prune_cands]),
+                **fit_kwargs)
             for i, (o, name, spec, parent, best_bic) in enumerate(
                 prune_cands
             ):
