@@ -167,6 +167,9 @@ def main():
                     os.path.join(OUT_DIR, "search_ckpt")),
                 "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
             },
+            # expansion candidates start from their parent's optimum —
+            # converged fits exit the segment loop early (greedy._warm_raw)
+            warm_start=bool(int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
             verbose=bool(int(os.environ.get("IHMP_VERBOSE", "0"))),
         )
         mins = (time.time() - t0) / 60.0
@@ -181,6 +184,8 @@ def main():
                     os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
                 "num_inducing": int(os.environ.get("IHMP_M", "128")),
                 "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
+                "warm_start": bool(
+                    int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
             },
             "best_models": {o: m.kernel_name
                             for o, m in gps.models.items()},

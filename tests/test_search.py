@@ -336,3 +336,36 @@ def test_lockstep_warm_start_matches_cold_structure():
     )
     assert "squared_exponential[1]" in warm["sin"]["best_model_name"]
     assert "categorical[0]" in warm["intercepts"]["best_model_name"]
+
+
+def test_capped_dispatch_slices_match_uncapped(monkeypatch):
+    """WAVEOME_SEG_WIDTH caps per-dispatch batch width (tunneled-TPU
+    worker survival); sliced dispatches must reproduce the uncapped
+    results exactly — per-candidate fits are independent under vmap."""
+    rng = np.random.default_rng(4)
+    n = 48
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    specs = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("linear", 1),),)),
+        KernelSpec(((Primitive("squared_exponential", 1),
+                     Primitive("linear", 1, train_variance=False)),)),
+        KernelSpec(((Primitive("categorical", 0),),
+                    (Primitive("linear", 1),))),
+    ]
+    for lik, Y in [
+        ("gaussian",
+         (np.sin(2 * X[:, 1]) + 0.1 * rng.normal(size=n))[:, None]),
+        ("poisson",
+         rng.poisson(np.exp(0.5 * X[:, 1]) + 1.0).astype(float)[:, None]),
+    ]:
+        fits_full, _ = fit_candidates(specs, X, Y, likelihood=lik,
+                                      num_restart=1, max_iter=100)
+        monkeypatch.setenv("WAVEOME_SEG_WIDTH", "2")
+        fits_cap, _ = fit_candidates(specs, X, Y, likelihood=lik,
+                                     num_restart=1, max_iter=100)
+        monkeypatch.delenv("WAVEOME_SEG_WIDTH")
+        np.testing.assert_allclose(fits_cap.bic, fits_full.bic,
+                                   rtol=1e-10, err_msg=lik)

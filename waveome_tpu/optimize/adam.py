@@ -41,6 +41,7 @@ def adam_natgrad_fit(
     nat_gradient_gamma: float = 0.1,
     num_opt_iter: int = 5000,
     convergence_threshold: float = 1e-9,
+    convergence_floor: float = 0.0,
     use_natgrad: bool = True,
     check_every: int = 100,
     carry=None,
@@ -216,6 +217,13 @@ def adam_natgrad_fit(
                     1.0, jnp.abs(cur))
             else:
                 thresh = convergence_threshold
+            # convergence_floor: an absolute improvement-per-window
+            # floor for fits whose downstream consumer has bounded
+            # resolution (search candidates are ranked on BIC rounded
+            # to 2 decimals with a beam width of 6 — improvements of
+            # <0.05/100 iters can't change a selection, but strand the
+            # whole vmapped batch at the iteration cap)
+            thresh = jnp.maximum(thresh, convergence_floor)
             converged = ~bad_c & ((last_loss - cur) < thresh)
             return flat, jnp.where(bad_c, snapshot, flat), \
                 jnp.where(bad_c, last_loss, cur), done | converged

@@ -11,6 +11,7 @@ search incurs only a handful of compiles.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from .._variants import variant_logged
@@ -166,6 +167,7 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             res = adam_natgrad_fit(
                 loss, p0, mask=mask,
                 num_opt_iter=max(1000, 2 * max_iter),
+                convergence_floor=_CONV_FLOOR,
                 loss_guard=needs_loss_guard(config.likelihood.name))
         loglik = -res.loss  # log posterior (no priors → ELBO)
         if split:
@@ -214,6 +216,17 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
 import os as _os
 
 _SEG_ITERS = int(_os.environ.get("WAVEOME_SEARCH_SEG_ITERS", "100"))
+
+# Absolute convergence floor for search CANDIDATE fits (adam paths):
+# candidates are ranked on BIC rounded to 2 decimals inside a beam of
+# width 6 (keep_top_k metric_diff), so a fit improving <0.05 per
+# 100-iteration check window cannot change any selection — but one such
+# straggler strands its whole vmapped sub-batch at the iteration cap.
+# Bounded error: with Adam's decaying improvement rate, <=0.05/100 iters
+# over the remaining <=900 iterations is <=0.45 BIC, well inside the
+# beam. Set WAVEOME_SEARCH_CONV_FLOOR=0 for exact reference-threshold
+# behavior.
+_CONV_FLOOR = float(_os.environ.get("WAVEOME_SEARCH_CONV_FLOOR", "0.05"))
 
 
 @variant_logged
@@ -276,6 +289,7 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
                                   y_col, randomize)
         _, carry = adam_natgrad_fit(loss, p0, mask=mask,
                                     num_opt_iter=bound,
+                                    convergence_floor=_CONV_FLOOR,
                                     return_carry=True,
                                     loss_guard=guard)
         return carry
@@ -286,6 +300,7 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
                                   y_col, randomize)
         _, carry = adam_natgrad_fit(loss, p0, mask=mask,
                                     num_opt_iter=bound, carry=carry,
+                                    convergence_floor=_CONV_FLOOR,
                                     return_carry=True,
                                     loss_guard=guard)
         return carry
@@ -316,6 +331,27 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
     return first_fn, next_fn, final_fn
 
 
+def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
+              data, total, log):
+    """Run one flat batch through the bounded-dispatch segment loop."""
+    first_fn, next_fn, final_fn = fns
+    bound = min(_SEG_ITERS, total)
+    carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
+                     jnp.asarray(bound), data)
+    while bound < total:
+        done = np.asarray(carry[5])
+        if log:
+            print(f"[seg] iters<={bound} done {int(done.sum())}/"
+                  f"{done.size}", flush=True)
+        if done.all():
+            break
+        bound = min(bound + _SEG_ITERS, total)
+        carry = next_fn(carry, coded_b, raw_b, kmask_b, keys_b, y_b,
+                        randomize, jnp.asarray(bound), data)
+    return final_fn(carry, coded_b, raw_b, kmask_b, keys_b, y_b,
+                    randomize, data)
+
+
 def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
                               coded, raw0, kmask, keys, data, y_cols_arr,
                               det_first=False):
@@ -323,11 +359,19 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
 
     Restarts are flattened into the batch axis (candidate-major) and the
     best restart per candidate is selected on the host at the end —
-    one level of vmap keeps the segment carry a flat batch."""
+    one level of vmap keeps the segment carry a flat batch.
+
+    The flat batch is dispatched in sub-batches of at most
+    ``WAVEOME_SEG_WIDTH`` (default 256) fits: a depth-2 expansion over a
+    32-outcome chunk flattens to 1000-2000 fits, and one 100-iteration
+    segment at that width is a multi-minute device dispatch — long
+    enough to kill the tunneled TPU worker (the same per-dispatch-
+    duration failure _SEG_ITERS exists for). Capped sub-batches also
+    mean every oversized batch reuses ONE compiled cap-wide program
+    instead of lowering a fresh program per flattened width."""
     import os
 
-    first_fn, next_fn, final_fn = _cand_adam_fns(
-        config, bool(split), np.dtype(dtype).name)
+    fns = _cand_adam_fns(config, bool(split), np.dtype(dtype).name)
     n_pad = raw0.shape[0]
     total = max(1000, 2 * max_iter)
     if n_fits > 1:
@@ -350,21 +394,37 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         randomize = jnp.zeros((n_pad,), dtype=bool)
 
     log = os.environ.get("WAVEOME_SEG_LOG", "0") == "1"
-    bound = min(_SEG_ITERS, total)
-    carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
-                     jnp.asarray(bound), data)
-    while bound < total:
-        done = np.asarray(carry[5])
-        if log:
-            print(f"[seg] iters<={bound} done {int(done.sum())}/"
-                  f"{done.size}", flush=True)
-        if done.all():
-            break
-        bound = min(bound + _SEG_ITERS, total)
-        carry = next_fn(carry, coded_b, raw_b, kmask_b, keys_b, y_b,
-                        randomize, jnp.asarray(bound), data)
-    params, logliks, holds = final_fn(carry, coded_b, raw_b, kmask_b,
-                                      keys_b, y_b, randomize, data)
+    flat = int(raw_b.shape[0])
+    cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if flat > cap:
+        pad_to = -(-flat // cap) * cap
+        if pad_to > flat:
+            gidx = jnp.asarray(np.concatenate([
+                np.arange(flat), np.zeros(pad_to - flat, np.int64)]))
+            take = lambda a: jnp.take(a, gidx, axis=0)  # noqa: E731
+            coded_b = jax.tree.map(take, coded_b)
+            raw_b, kmask_b, keys_b = take(raw_b), take(kmask_b), take(
+                keys_b)
+            y_b, randomize = take(y_b), take(randomize)
+        outs = []
+        for lo in range(0, pad_to, cap):
+            sl = slice(lo, lo + cap)
+            outs.append(_seg_loop(
+                fns, jax.tree.map(lambda a: a[sl], coded_b), raw_b[sl],
+                kmask_b[sl], keys_b[sl], y_b[sl], randomize[sl], data,
+                total, log))
+            if log:
+                print(f"[seg] sub-batch {lo}-{lo + cap}/{pad_to} done",
+                      flush=True)
+        params = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[:flat],
+            *[o[0] for o in outs])
+        logliks = jnp.concatenate([o[1] for o in outs])[:flat]
+        holds = jnp.concatenate([o[2] for o in outs])[:flat]
+    else:
+        params, logliks, holds = _seg_loop(
+            fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize, data,
+            total, log)
     if n_fits > 1:
         ll = np.asarray(logliks).reshape(n_pad, n_fits)
         ll = np.where(np.isfinite(ll), ll, -np.inf)
@@ -433,6 +493,12 @@ def fit_candidates(
     # sliced off the results below) so expansion steps of different sizes
     # share one compiled program
     n_pad = _bucket(n_cand, _WIDTH_BUCKETS)
+    cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if n_pad > cap:
+        # oversized batches dispatch in cap-wide slices (see
+        # _fit_candidates_segmented) — align the padding so every slice
+        # is exactly the one compiled cap-wide program
+        n_pad = -(-n_cand // cap) * cap
     specs = list(specs) + [specs[0]] * (n_pad - n_cand)
     y_cols = list(y_cols) + [y_cols[0]] * (n_pad - n_cand)
     y_cols_arr = jnp.asarray(np.asarray(y_cols, dtype=np.int32))
@@ -517,8 +583,24 @@ def fit_candidates(
         rnd = np.ones((n_fits,), dtype=bool)
         if n_fits == 1 or init_raw is not None:
             rnd[0] = False
-        params, logliks, holds = fit_all(coded, raw0, kmask, keys, data,
-                                         y_cols_arr, jnp.asarray(rnd))
+        rnd = jnp.asarray(rnd)
+        if n_pad > cap:
+            # cap-wide dispatch slices: bounds per-dispatch duration
+            # (tunneled-worker killer) and reuses one compiled program
+            outs = [
+                fit_all(jax.tree.map(lambda a: a[lo:lo + cap], coded),
+                        raw0[lo:lo + cap], kmask[lo:lo + cap],
+                        keys[lo:lo + cap], data,
+                        y_cols_arr[lo:lo + cap], rnd)
+                for lo in range(0, n_pad, cap)
+            ]
+            params = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                  *[o[0] for o in outs])
+            logliks = jnp.concatenate([o[1] for o in outs])
+            holds = jnp.concatenate([o[2] for o in outs])
+        else:
+            params, logliks, holds = fit_all(coded, raw0, kmask, keys,
+                                             data, y_cols_arr, rnd)
     else:
         params, logliks, holds = _fit_candidates_segmented(
             config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
