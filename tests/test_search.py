@@ -369,3 +369,35 @@ def test_capped_dispatch_slices_match_uncapped(monkeypatch):
         monkeypatch.delenv("WAVEOME_SEG_WIDTH")
         np.testing.assert_allclose(fits_cap.bic, fits_full.bic,
                                    rtol=1e-10, err_msg=lik)
+
+
+def test_segment_compaction_matches_uncompacted(monkeypatch):
+    """Between-segment compaction of converged fits (engine._seg_loop)
+    must not change any fit's result: rows are gathered/scattered, never
+    re-ordered within a fit, and duplicate padding evolves identically."""
+    import waveome_tpu.search.engine as eng
+
+    rng = np.random.default_rng(11)
+    n = 48
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    Y = rng.poisson(np.exp(0.5 * X[:, 1]) + 1.0).astype(float)[:, None]
+    specs = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("linear", 1),),)),
+        KernelSpec(((Primitive("constant", variance_init=1e-6,
+                               train_variance=False),),)),
+        KernelSpec(((Primitive("categorical", 0),),
+                    (Primitive("linear", 1),))),
+    ]
+    monkeypatch.setattr(eng, "_COMPACT", False)
+    plain, _ = fit_candidates(specs, X, Y, likelihood="poisson",
+                              num_restart=2, max_iter=100, random_seed=3)
+    monkeypatch.setattr(eng, "_COMPACT", True)
+    monkeypatch.setattr(eng, "_COMPACT_BUCKETS", (1, 2, 3, 4, 6, 8))
+    comp, _ = fit_candidates(specs, X, Y, likelihood="poisson",
+                             num_restart=2, max_iter=100, random_seed=3)
+    np.testing.assert_allclose(comp.bic, plain.bic, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(comp.loglik),
+                               np.asarray(plain.loglik), rtol=1e-10)
