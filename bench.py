@@ -269,7 +269,7 @@ def main_search():
     print(f"# search n_outcomes={n_outcomes} candidate_fits={n_fits} "
           f"depth={max_depth} restarts={num_restart} elapsed={elapsed:.1f}s",
           file=sys.stderr)
-    return _emit({
+    out = _emit({
         "metric": "kernel_search_fits_per_min",
         "value": round(fits_per_min, 2),
         "unit": "candidate fits/min",
@@ -277,6 +277,33 @@ def main_search():
         "outcomes_searched_per_min": round(outcomes_per_min, 2),
         "candidate_fits": n_fits,
     })
+
+    # warm-started variant (run_search(warm_start=True)): expansion/prune
+    # candidates start from their parent's optimum — same candidate
+    # count, fewer optimizer iterations per fit. Same compiled programs
+    # (the randomize flag is traced), so no extra warm-up run needed.
+    engine.FIT_COUNT = 0
+    t0 = time.time()
+    warm_results = multi_outcome_kernel_search(
+        X, Ys[:, :n_outcomes], warm_start=True, **search_kwargs)
+    warm_elapsed = time.time() - t0
+    warm_fits = engine.FIT_COUNT
+    ok = sum(1 for r in warm_results.values()
+             if r["best_model"] is not None)
+    assert ok >= 0.95 * n_outcomes, f"warm searches failed: {ok}"
+    warm_fpm = warm_fits / (warm_elapsed / 60.0)
+    print(f"# search-warm candidate_fits={warm_fits} "
+          f"elapsed={warm_elapsed:.1f}s", file=sys.stderr)
+    _emit({
+        "metric": "kernel_search_warm_fits_per_min",
+        "value": round(warm_fpm, 2),
+        "unit": "candidate fits/min",
+        "vs_baseline": round(warm_fpm / BASELINE_SEARCH_PER_MIN, 1),
+        "outcomes_searched_per_min": round(
+            n_outcomes / (warm_elapsed / 60.0), 2),
+        "candidate_fits": warm_fits,
+    })
+    return out
 
 
 def main_largen():
