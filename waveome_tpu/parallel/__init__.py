@@ -1,3 +1,4 @@
+from .distributed import distributed_init
 from .mesh import (
     OUTCOME_AXIS,
     outcome_mesh,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "distributed_init",
     "OUTCOME_AXIS",
     "outcome_mesh",
     "pad_batch",
