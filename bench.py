@@ -399,7 +399,22 @@ def main():
     if which == "largen":
         return main_largen()
 
-    g = main_gaussian()
+    try:
+        g = main_gaussian()
+    except Exception as e:  # noqa: BLE001 — a mid-stage worker crash must
+        # not void the whole bench record; wait the worker out and retry
+        # the headline stage once
+        print(f"# gaussian bench failed: {e}", file=sys.stderr)
+        g = None
+        if want_tpu and _wait_for_backend():
+            try:
+                g = main_gaussian()
+            except Exception as e2:  # noqa: BLE001
+                print(f"# gaussian bench retry failed: {e2}",
+                      file=sys.stderr)
+        if g is None:
+            g = {"value": None, "vs_baseline": None, "mfu_pct": None,
+                 "first_call_s": None}
     try:
         nb = main_nb()
     except Exception as e:  # noqa: BLE001 — same worker-crash guard as
