@@ -484,6 +484,8 @@ def plot_heatmap(
             "use_gridspec": False,
             "label": "Feature importance",
         }
+    # a 1-entry axis has an empty pairwise-distance matrix, which
+    # scipy's linkage rejects — cluster each axis only when it can be
     clm = sns.clustermap(
         out_info.transpose(),
         figsize=figsize,
@@ -492,8 +494,8 @@ def plot_heatmap(
         robust=True,
         cmap=cmap,
         fmt="g",
-        col_cluster=cluster,
-        row_cluster=cluster,
+        col_cluster=cluster and out_info.shape[0] > 1,
+        row_cluster=cluster and out_info.shape[1] > 1,
         **clustermap_kwargs,
     )
     ax = clm.ax_heatmap
