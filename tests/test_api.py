@@ -104,6 +104,20 @@ def test_importance_frame_and_heatmap(fitted_gps):
     with pytest.raises(AssertionError, match="Not enough models"):
         gps.plot_heatmap(var_cutoff=2.0)
 
+    # degenerate axes must not crash clustering: a single surviving
+    # component column (2 outcomes x 1 feature) used to hand scipy's
+    # linkage an empty distance matrix on the transposed row axis
+    import pandas as pd
+
+    from waveome_tpu.plots import plot_heatmap
+
+    tiny = pd.DataFrame(
+        {"squared_exponential[time]": [0.7, 0.4], "residual": [0.3, 0.6]},
+        index=["out_a", "out_b"],
+    )
+    g = plot_heatmap(tiny, var_cutoff=0.0)
+    assert g is not None
+
     fig, ax = gps.plot_feature_metrics("time")
     assert fig is not None
 
