@@ -121,6 +121,16 @@ def load_ihmp(data_dir=os.path.join(REF_DATA, "data")):
 
 
 def main():
+    # IHMP_PLATFORM=cpu forces the host backend (the axon TPU plugin
+    # overrides JAX_PLATFORMS unless its factory is dropped pre-init) —
+    # used by finalize-mode artifact recovery, which does no device work
+    if os.environ.get("IHMP_PLATFORM") == "cpu":
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     jax.config.update(
