@@ -135,7 +135,11 @@ def main():
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(HERE), ".jax_cache"),
+        # IHMP_CACHE_DIR isolates this run's compile cache — two
+        # processes sharing one cache dir have segfaulted inside jax's
+        # persistent-cache write (ROADMAP round-3 closing notes)
+        os.environ.get("IHMP_CACHE_DIR",
+                       os.path.join(os.path.dirname(HERE), ".jax_cache")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -158,6 +162,31 @@ def main():
                       if o in set(Y.columns)]
         print(f"finalize mode: {len(fitted)} checkpointed outcomes")
         Y = Y.loc[:, fitted]
+    # Cross-session accumulation: IHMP_SEARCH_SEED points at a PRIOR
+    # run's search_results.json (e.g. the committed artifact). Outcomes
+    # already in the seed are excluded from this run's sweep and merged
+    # back into the final artifact — so a multi-hour full-metabolome
+    # search completes incrementally across session-bounded runs even
+    # when the (gitignored, heavyweight) checkpoint dir does not survive
+    # between sessions. IHMP_SEARCH_BUDGET_S bounds THIS run's sweep
+    # wall clock (sweep deadline_s: the in-flight chunk completes, no
+    # new chunk starts).
+    seed_results = {}
+    seed_path = os.environ.get("IHMP_SEARCH_SEED")
+    if (seed_path and os.environ.get("IHMP_MODE") == "search"
+            and os.environ.get("IHMP_SEARCH_FINALIZE") != "1"):
+        with open(seed_path) as f:
+            seed = json.load(f)
+        seed_results = {
+            o: {"best_model_name": seed["best_models"][o],
+                "var_exp": seed["var_explained"].get(o, [])}
+            for o in seed.get("best_models", {})
+            if o in set(Y.columns)
+        }
+        Y = Y.drop(columns=list(seed_results))
+        print(f"seeded {len(seed_results)} outcomes from {seed_path}; "
+              f"{Y.shape[1]} remaining")
+
     print(f"iHMP: {X.shape[0]} samples, {X.shape[1]} covariates, "
           f"{Y.shape[1]} metabolites, "
           f"{X['participant_id'].nunique()} participants")
@@ -175,28 +204,54 @@ def main():
     # under a 12 h SLURM limit) over the first IHMP_OUTCOMES metabolites
     # with a bounded budget; results go to search_results.json
     if os.environ.get("IHMP_MODE") == "search":
+        sweep_opts = {
+            "checkpoint_dir": os.environ.get(
+                "IHMP_SEARCH_CKPT",
+                os.path.join(OUT_DIR, "search_ckpt")),
+            "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
+        }
+        budget = os.environ.get("IHMP_SEARCH_BUDGET_S")
+        if budget:
+            sweep_opts["deadline_s"] = float(budget)
         t0 = time.time()
-        gps.run_search(
-            random_seed=9102,
-            max_depth=int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
-            num_restart=int(os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
-            num_inducing_points=int(os.environ.get("IHMP_M", "128")),
-            # chunked resumable sweep: bounds each depth's candidate batch
-            # to chunk_size x candidates models on the device and survives
-            # interruption (the reference runs this workload as 40 Ray
-            # jobs under a 12 h SLURM limit, ihmp_waveome_hpc_run.py:176)
-            sweep_options={
-                "checkpoint_dir": os.environ.get(
-                    "IHMP_SEARCH_CKPT",
-                    os.path.join(OUT_DIR, "search_ckpt")),
-                "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
-            },
-            # expansion candidates start from their parent's optimum —
-            # converged fits exit the segment loop early (greedy._warm_raw)
-            warm_start=bool(int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
-            verbose=bool(int(os.environ.get("IHMP_VERBOSE", "0"))),
-        )
+        if gps.Y.shape[1] > 0:
+            gps.run_search(
+                random_seed=9102,
+                max_depth=int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
+                num_restart=int(
+                    os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
+                num_inducing_points=int(os.environ.get("IHMP_M", "128")),
+                # chunked resumable sweep: bounds each depth's candidate
+                # batch to chunk_size x candidates models on the device
+                # and survives interruption (the reference runs this
+                # workload as 40 Ray jobs under a 12 h SLURM limit,
+                # ihmp_waveome_hpc_run.py:176)
+                sweep_options=sweep_opts,
+                # expansion candidates start from their parent's optimum
+                # — converged fits exit the segment loop early
+                # (greedy._warm_raw)
+                warm_start=bool(
+                    int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
+                verbose=bool(int(os.environ.get("IHMP_VERBOSE", "0"))),
+            )
         mins = (time.time() - t0) / 60.0
+        # a deadline-bounded sweep returns only completed outcomes;
+        # drop unfitted placeholders before merging with the seed
+        gps.models = {o: m for o, m in gps.models.items()
+                      if m is not None}
+        n_new = len(gps.models)
+        # merge the seeded prior-session results back in (stand-in
+        # handles carry the kernel name importance_frame reads; the
+        # search-mode heatmap only needs best_model_name + var_exp)
+        import types as _types
+
+        gps.model_selection_type = "search"
+        if not hasattr(gps, "search_info"):
+            gps.search_info = {}
+        for o, info in seed_results.items():
+            gps.models[o] = _types.SimpleNamespace(
+                kernel_name=info["best_model_name"])
+            gps.search_info[o] = info
         out = {
             "mode": "search",
             # artifact-recovery runs rebuild models from checkpoint
@@ -204,8 +259,10 @@ def main():
             "finalized_from_checkpoint":
                 os.environ.get("IHMP_SEARCH_FINALIZE") == "1",
             "n_metabolites": len(gps.models),
+            "n_new_this_run": n_new,
+            "n_seeded": len(seed_results),
             "wall_minutes": round(mins, 2),
-            "outcomes_per_min": round(len(gps.models) / max(mins, 1e-9), 2),
+            "outcomes_per_min": round(n_new / max(mins, 1e-9), 2),
             "config": {
                 "max_depth": int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
                 "num_restart": int(

@@ -22,6 +22,15 @@ export IHMP_SEARCH_CKPT=${IHMP_SEARCH_CKPT:-examples/output/ihmp_real/search_ckp
 export IHMP_SEARCH_CHUNK=${IHMP_SEARCH_CHUNK:-32}
 export IHMP_SEARCH_WARM=${IHMP_SEARCH_WARM:-1}
 export IHMP_VERBOSE=${IHMP_VERBOSE:-0}
+# cross-session accumulation: seed from the COMMITTED artifact JSON so a
+# fresh filesystem (no checkpoint dir) continues where the last session's
+# committed results end, instead of refitting from metabolite 0. Each
+# attempt re-reads the file, so within this launcher run the merged JSON
+# written by attempt N seeds attempt N+1 alongside the checkpoint dir.
+SEED_JSON=examples/output/ihmp_real/search_results.json
+if [ -z "${IHMP_SEARCH_SEED:-}" ] && [ -f "$SEED_JSON" ]; then
+  export IHMP_SEARCH_SEED="$SEED_JSON"
+fi
 mkdir -p "$IHMP_SEARCH_CKPT"
 
 for i in $(seq 1 "$MAX_ATTEMPTS"); do
@@ -31,6 +40,14 @@ for i in $(seq 1 "$MAX_ATTEMPTS"); do
     break
   fi
   echo "=== full-sweep attempt $i $(date +%H:%M:%S) (budget ${LEFT}s) ===" >> "$LOG"
+  # graceful in-process budget: the sweep stops starting new chunks
+  # 20 min before the hard kill so the merged artifact JSON gets
+  # written (a timeout kill loses everything not yet checkpointed)
+  if [ "$LEFT" -gt 1800 ]; then
+    export IHMP_SEARCH_BUDGET_S=$((LEFT - 1200))
+  else
+    export IHMP_SEARCH_BUDGET_S=$((LEFT / 2))
+  fi
   timeout "$LEFT" python examples/ihmp_real.py >> "$LOG" 2>&1
   RC=$?
   if [ "$RC" -eq 0 ]; then

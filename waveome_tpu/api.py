@@ -513,6 +513,7 @@ class GPSearch:
                 chunk_size=sweep_options.get("chunk_size", 64),
                 partition_across_hosts=sweep_options.get(
                     "partition_across_hosts", True),
+                deadline_s=sweep_options.get("deadline_s"),
                 **search_kwargs,
             )
         else:

@@ -100,6 +100,7 @@ def run_search_sweep(
     chunk_size: int = 64,
     partition_across_hosts: bool = True,
     verbose: bool = True,
+    deadline_s: Optional[float] = None,
     **search_kwargs,
 ) -> Dict[str, dict]:
     """Greedy kernel search over outcomes in resumable chunks.
@@ -109,6 +110,14 @@ def run_search_sweep(
     ``models``/``search_info``/``importance_frame`` (full per-depth model
     dicts are only available for freshly-fitted chunks and are not
     persisted).
+
+    ``deadline_s`` bounds the sweep's wall clock: no NEW chunk starts
+    once the budget is spent (the in-flight chunk always completes and
+    checkpoints). Completed outcomes are returned; the rest stay in the
+    checkpoint todo-set for the next invocation — this is how a
+    session-bounded environment works through a multi-hour sweep across
+    several runs (the reference's analogue is resubmitting the SLURM
+    array, but it refits everything: ihmp_waveome_hpc_script.sh).
     """
     X = np.asarray(X, dtype=np.float64)
     Ys = np.asarray(Ys, dtype=np.float64)
@@ -147,6 +156,12 @@ def run_search_sweep(
     start = time.time()
     done = 0
     for lo in range(0, len(todo), chunk_size):
+        if deadline_s is not None and time.time() - start > deadline_s:
+            if verbose:
+                left = len(todo) - done
+                print(f"Sweep budget ({deadline_s:.0f}s) spent; "
+                      f"{left} outcomes left for the next resume")
+            break
         chunk = todo[lo:lo + chunk_size]
         cols = [name_to_col[n] for n in chunk]
         res = multi_outcome_kernel_search(
