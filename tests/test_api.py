@@ -267,6 +267,43 @@ def test_run_search_sweep_mode(tutorial_data, tmp_path):
     assert g is not None
 
 
+def test_run_search_sweep_deadline(tutorial_data, tmp_path):
+    """sweep_options deadline_s bounds the sweep's wall clock: the
+    in-flight chunk completes, no NEW chunk starts, and a later call
+    without a deadline finishes the remaining outcomes from the same
+    checkpoint (the cross-session accumulation mode of the real-data
+    full-metabolome search, examples/ihmp_real.py)."""
+    X_df, Y_df = tutorial_data
+    from waveome_tpu import GPSearch
+
+    ck = str(tmp_path / "deadline_ck")
+    kwargs = dict(
+        kernels=("squared_exponential", "linear"),
+        max_depth=1, num_restart=1, max_iter=100,
+        num_inducing_points=100, random_seed=3,
+    )
+
+    gps1 = GPSearch(X=X_df, Y=Y_df, unit_col="id",
+                    categorical_vars=["female"],
+                    Y_transform="standardize")
+    # any chunk takes far longer than 50 ms, so exactly chunk 0 (2 of
+    # the 3 outcomes) completes before the budget check stops the sweep
+    gps1.run_search(sweep_options={"checkpoint_dir": ck, "chunk_size": 2,
+                                   "deadline_s": 0.05}, **kwargs)
+    assert len(gps1.models) == 2
+
+    gps2 = GPSearch(X=X_df, Y=Y_df, unit_col="id",
+                    categorical_vars=["female"],
+                    Y_transform="standardize")
+    gps2.run_search(sweep_options={"checkpoint_dir": ck,
+                                   "chunk_size": 2}, **kwargs)
+    assert set(gps2.models) == set(Y_df.columns)
+    # the two deadline-run outcomes rehydrated rather than refitted
+    for c in gps1.models:
+        assert gps2.models[c].kernel_name == gps1.models[c].kernel_name
+        assert gps2.models[c].bic == gps1.models[c].bic
+
+
 def test_gpsearch_pickle_roundtrip(fitted_gps):
     """The reference's documented persistence is pickling the whole
     GPSearch object (ihmp_waveome_hpc_run.py:179-180); the functional
