@@ -338,7 +338,31 @@ def test_lockstep_warm_start_matches_cold_structure():
     assert "categorical[0]" in warm["intercepts"]["best_model_name"]
 
 
-def test_capped_dispatch_slices_match_uncapped(monkeypatch):
+@pytest.fixture
+def no_cache_writes():
+    """Skip persistent-cache WRITES for compile-heavy engine tests.
+
+    Twice observed (round 3): a segfault inside the PJRT
+    ``executable.serialize()`` that jax's cache write calls
+    (compilation_cache.py put_executable_and_time), both times in a
+    suite run concurrent with another jax process. These two tests
+    compile many odd-width one-off programs (width caps of 2, compact
+    buckets 1/2/3/4/6/8) that no other test reuses, so caching them has
+    no value — raising min_compile_time_secs makes _cache_write return
+    before the crashing serialize."""
+    import jax
+
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        yield
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old)
+
+
+def test_capped_dispatch_slices_match_uncapped(monkeypatch,
+                                               no_cache_writes):
     """WAVEOME_SEG_WIDTH caps per-dispatch batch width (tunneled-TPU
     worker survival); sliced dispatches must reproduce the uncapped
     results exactly — per-candidate fits are independent under vmap."""
