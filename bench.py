@@ -64,41 +64,80 @@ def _emit(out):
     return out
 
 
-def _wait_for_backend():
-    """Block until the TPU backend answers a trivial program.
+def _probe_backend(timeout_s=240):
+    """One bounded probe: does the TPU answer a trivial program?
 
-    The tunneled axon worker restarts take minutes after a crash, and a
-    failed backend init is cached for the life of the process — so probe
-    from SUBPROCESSES (each gets a fresh init) and only let the main
-    process touch jax once a probe succeeds. Bounded by
-    BENCH_TPU_WAIT_S (default 30 min); returns False on give-up so the
-    caller can emit a diagnostic record instead of stack-tracing."""
+    Probed from a SUBPROCESS (a failed backend init is cached for the
+    life of a process; the tunneled axon handshake itself can take
+    ~3 min, hence the generous single-probe timeout)."""
     import subprocess
 
-    max_wait = int(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
     probe = ("import jax, jax.numpy as jnp; "
              "L = jnp.linalg.cholesky(jnp.eye(8)*2.0); "
              "print('TPU_OK', float(L[0,0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return "TPU_OK" in (r.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _last_good():
+    """Most recent committed BENCH_r*.json record with a non-null value.
+
+    Rides along on the degraded-backend fallback line so a round whose
+    TPU worker is down still carries the last measured numbers
+    (VERDICT r3 'make the bench un-voidable')."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except Exception:  # noqa: BLE001 — unreadable record, skip
+            continue
+        parsed = rec.get("parsed")
+        if parsed and parsed.get("value") is not None:
+            best = {"from": os.path.basename(p), **parsed}
+    return best
+
+
+def _wait_for_backend(emit_fallback=False):
+    """Block until the TPU backend answers a trivial program.
+
+    The tunneled axon worker restarts take minutes after a crash.
+    Bounded by BENCH_TPU_WAIT_S (default 30 min); returns False on
+    give-up so the caller can emit a diagnostic record instead of
+    stack-tracing. With ``emit_fallback`` a parseable JSON line (value
+    null + last-known-good rider) goes out after the FIRST failed probe
+    — within ~4 min of start — so a driver-side timeout kill can no
+    longer void the round's bench record (BENCH_r03 was rc=124 with
+    parsed=null because the old code slept silently for 30 min)."""
+    max_wait = int(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
     t0 = time.time()
     first = True
     while True:
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, text=True,
-                               timeout=600)
-            if "TPU_OK" in (r.stdout or ""):
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        if _probe_backend():
+            return True
         if first:
             print("# TPU backend unavailable; waiting for the worker",
                   file=sys.stderr)
+            if emit_fallback:
+                _emit({"metric": "penalized_gp_fits_per_min",
+                       "value": None, "unit": "models/min",
+                       "vs_baseline": None,
+                       "error": "tpu backend unavailable; retrying",
+                       "last_good": _last_good()})
             first = False
         if time.time() - t0 > max_wait:
             print(f"# backend still unavailable after {max_wait}s",
                   file=sys.stderr)
             return False
-        time.sleep(45)
+        time.sleep(30)
 
 
 def main_gaussian():
@@ -383,11 +422,12 @@ def main():
     # don't touch jax.devices()/default_backend() before the probe — a
     # failed backend init is cached for the process
     want_tpu = "cpu" not in os.environ.get("JAX_PLATFORMS", "axon").lower()
-    if want_tpu and not _wait_for_backend():
+    if want_tpu and not _wait_for_backend(emit_fallback=True):
         return _emit({"metric": "penalized_gp_fits_per_min",
                       "value": None, "unit": "models/min",
                       "vs_baseline": None,
-                      "error": "tpu backend unavailable"})
+                      "error": "tpu backend unavailable",
+                      "last_good": _last_good()})
 
     which = os.environ.get("BENCH_WORKLOAD", "all")
     if which == "gaussian":
@@ -432,7 +472,7 @@ def main():
     # combined summary line (last JSON line = the driver-parsed record):
     # headline remains the round-1/2 penalized metric for continuity,
     # with the north-star search number and NB number as named extras.
-    _emit({
+    rec = {
         "metric": "penalized_gp_fits_per_min",
         "value": g["value"],
         "unit": "models/min",
@@ -444,7 +484,10 @@ def main():
         "nb_vs_baseline": nb["vs_baseline"],
         "mfu_pct": g["mfu_pct"],
         "first_call_s": g["first_call_s"],
-    })
+    }
+    if g["value"] is None:
+        rec["last_good"] = _last_good()
+    _emit(rec)
 
 
 if __name__ == "__main__":

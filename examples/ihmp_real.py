@@ -177,9 +177,10 @@ def main():
             and os.environ.get("IHMP_SEARCH_FINALIZE") != "1"):
         with open(seed_path) as f:
             seed = json.load(f)
+        seed_ve = seed.get("var_explained", {})
         seed_results = {
             o: {"best_model_name": seed["best_models"][o],
-                "var_exp": seed["var_explained"].get(o, [])}
+                "var_exp": seed_ve.get(o, [])}
             for o in seed.get("best_models", {})
             if o in set(Y.columns)
         }
@@ -204,16 +205,86 @@ def main():
     # under a 12 h SLURM limit) over the first IHMP_OUTCOMES metabolites
     # with a bounded budget; results go to search_results.json
     if os.environ.get("IHMP_MODE") == "search":
+        ckpt_dir = os.environ.get(
+            "IHMP_SEARCH_CKPT", os.path.join(OUT_DIR, "search_ckpt"))
         sweep_opts = {
-            "checkpoint_dir": os.environ.get(
-                "IHMP_SEARCH_CKPT",
-                os.path.join(OUT_DIR, "search_ckpt")),
+            "checkpoint_dir": ckpt_dir,
             "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
         }
         budget = os.environ.get("IHMP_SEARCH_BUDGET_S")
         if budget:
             sweep_opts["deadline_s"] = float(budget)
+
+        # outcomes already in the checkpoint at sweep start are
+        # REHYDRATED, not fitted — keep them out of this run's
+        # throughput numbers (resumed runs were reporting inflated
+        # outcomes_per_min)
+        pre_fitted = set()
+        manifest_path = os.path.join(ckpt_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    pre_fitted = set(json.load(f).get("outcomes", []))
+            except Exception as e:
+                print(f"unreadable checkpoint manifest ({e}); "
+                      f"throughput will count rehydrated outcomes")
+
+        config = {
+            "max_depth": int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
+            "num_restart": int(
+                os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
+            "num_inducing": int(os.environ.get("IHMP_M", "128")),
+            "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
+            "warm_start": bool(
+                int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
+        }
         t0 = time.time()
+
+        def write_artifact(partial, final=False):
+            """Merge seed + (partial) sweep results -> the results JSON.
+
+            Called after EVERY chunk commit (sweep chunk_callback) and
+            once at the end, so a hard kill mid-sweep loses at most the
+            in-flight chunk (ADVICE r3: the launcher's timeout margin
+            was smaller than one chunk's wall time).
+            """
+            done = {o: r for o, r in partial.items()
+                    if r.get("best_model") is not None
+                    or r.get("best_model_name") is not None}
+            mins = (time.time() - t0) / 60.0
+            n_fresh = len([o for o in done if o not in pre_fitted])
+            out = {
+                "mode": "search",
+                "finalized_from_checkpoint":
+                    os.environ.get("IHMP_SEARCH_FINALIZE") == "1",
+                "partial": not final,
+                "n_metabolites": len(done) + len(seed_results),
+                "n_new_this_run": n_fresh,
+                "n_rehydrated": len(done) - n_fresh,
+                "n_seeded": len(seed_results),
+                "wall_minutes": round(mins, 2),
+                "outcomes_per_min": round(n_fresh / max(mins, 1e-9), 2),
+                "config": config,
+                "best_models": {
+                    **{o: r["best_model_name"] for o, r in done.items()},
+                    **{o: info["best_model_name"]
+                       for o, info in seed_results.items()},
+                },
+                "var_explained": {
+                    **{o: list(r.get("var_exp", []))
+                       for o, r in done.items()},
+                    **{o: info["var_exp"]
+                       for o, info in seed_results.items()},
+                },
+            }
+            path = os.path.join(OUT_DIR, "search_results.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(out, f, indent=2)
+            os.replace(tmp, path)
+            return out
+
+        sweep_opts["chunk_callback"] = write_artifact
         if gps.Y.shape[1] > 0:
             gps.run_search(
                 random_seed=9102,
@@ -234,12 +305,10 @@ def main():
                     int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
                 verbose=bool(int(os.environ.get("IHMP_VERBOSE", "0"))),
             )
-        mins = (time.time() - t0) / 60.0
         # a deadline-bounded sweep returns only completed outcomes;
         # drop unfitted placeholders before merging with the seed
         gps.models = {o: m for o, m in gps.models.items()
                       if m is not None}
-        n_new = len(gps.models)
         # merge the seeded prior-session results back in (stand-in
         # handles carry the kernel name importance_frame reads; the
         # search-mode heatmap only needs best_model_name + var_exp)
@@ -248,39 +317,15 @@ def main():
         gps.model_selection_type = "search"
         if not hasattr(gps, "search_info"):
             gps.search_info = {}
+        out = write_artifact(
+            {o: gps.search_info[o] for o in gps.models}, final=True)
         for o, info in seed_results.items():
             gps.models[o] = _types.SimpleNamespace(
                 kernel_name=info["best_model_name"])
             gps.search_info[o] = info
-        out = {
-            "mode": "search",
-            # artifact-recovery runs rebuild models from checkpoint
-            # payloads; their wall_minutes is NOT a fit-throughput number
-            "finalized_from_checkpoint":
-                os.environ.get("IHMP_SEARCH_FINALIZE") == "1",
-            "n_metabolites": len(gps.models),
-            "n_new_this_run": n_new,
-            "n_seeded": len(seed_results),
-            "wall_minutes": round(mins, 2),
-            "outcomes_per_min": round(n_new / max(mins, 1e-9), 2),
-            "config": {
-                "max_depth": int(os.environ.get("IHMP_SEARCH_DEPTH", "2")),
-                "num_restart": int(
-                    os.environ.get("IHMP_SEARCH_RESTARTS", "1")),
-                "num_inducing": int(os.environ.get("IHMP_M", "128")),
-                "chunk_size": int(os.environ.get("IHMP_SEARCH_CHUNK", "32")),
-                "warm_start": bool(
-                    int(os.environ.get("IHMP_SEARCH_WARM", "1"))),
-            },
-            "best_models": {o: m.kernel_name
-                            for o, m in gps.models.items()},
-            "var_explained": {o: gps.search_info[o]["var_exp"]
-                              for o in gps.models},
-        }
-        with open(os.path.join(OUT_DIR, "search_results.json"), "w") as f:
-            json.dump(out, f, indent=2)
         print(json.dumps({k: out[k] for k in
-                          ("n_metabolites", "wall_minutes")}))
+                          ("n_metabolites", "n_new_this_run",
+                           "wall_minutes", "outcomes_per_min")}))
         try:
             import matplotlib
             matplotlib.use("Agg")

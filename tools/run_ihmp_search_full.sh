@@ -41,8 +41,10 @@ for i in $(seq 1 "$MAX_ATTEMPTS"); do
   fi
   echo "=== full-sweep attempt $i $(date +%H:%M:%S) (budget ${LEFT}s) ===" >> "$LOG"
   # graceful in-process budget: the sweep stops starting new chunks
-  # 20 min before the hard kill so the merged artifact JSON gets
-  # written (a timeout kill loses everything not yet checkpointed)
+  # 20 min before the hard kill. The merged artifact JSON is also
+  # flushed after EVERY chunk (sweep chunk_callback in ihmp_real.py),
+  # so even a hard timeout kill mid-chunk only loses that chunk —
+  # the margin no longer has to exceed a worst-case chunk duration.
   if [ "$LEFT" -gt 1800 ]; then
     export IHMP_SEARCH_BUDGET_S=$((LEFT - 1200))
   else

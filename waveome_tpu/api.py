@@ -514,6 +514,7 @@ class GPSearch:
                 partition_across_hosts=sweep_options.get(
                     "partition_across_hosts", True),
                 deadline_s=sweep_options.get("deadline_s"),
+                chunk_callback=sweep_options.get("chunk_callback"),
                 **search_kwargs,
             )
         else:

@@ -101,6 +101,7 @@ def run_search_sweep(
     partition_across_hosts: bool = True,
     verbose: bool = True,
     deadline_s: Optional[float] = None,
+    chunk_callback=None,
     **search_kwargs,
 ) -> Dict[str, dict]:
     """Greedy kernel search over outcomes in resumable chunks.
@@ -118,6 +119,12 @@ def run_search_sweep(
     session-bounded environment works through a multi-hour sweep across
     several runs (the reference's analogue is resubmitting the SLURM
     array, but it refits everything: ihmp_waveome_hpc_script.sh).
+
+    ``chunk_callback(results)`` fires after every chunk's checkpoint
+    commit with the results accumulated so far — callers use it to
+    flush a merged artifact per chunk, so a hard kill mid-sweep loses
+    at most the in-flight chunk (not the whole run's merged output).
+    Callback errors are swallowed: the sweep must outlive its reporter.
     """
     X = np.asarray(X, dtype=np.float64)
     Ys = np.asarray(Ys, dtype=np.float64)
@@ -183,6 +190,11 @@ def run_search_sweep(
                 ck.save_outcome(name, _payload_from_result(r))
         if ck is not None:
             ck.commit()
+        if chunk_callback is not None:
+            try:
+                chunk_callback(results)
+            except Exception as e:  # noqa: BLE001
+                print(f"chunk_callback failed (sweep continues): {e}")
         done += len(chunk)
         if verbose:
             pct = int(round(100 * done / max(len(todo), 1)))
