@@ -408,14 +408,15 @@ def main_largen():
 def main():
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
-    )
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import waveome_tpu
+    from waveome_tpu.runtime import install_cache_write_lock
+
+    install_cache_write_lock(cache_dir)
 
     waveome_tpu.set_precision("float32")
 

@@ -29,13 +29,40 @@ jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the vmapped L-BFGS programs dominate test
 # wall time; caching them makes re-runs fast. WAVEOME_TEST_CACHE_DIR
 # points a run at a different (e.g. empty) cache to measure cold time.
-_cache_dir = os.environ.get(
+#
+# Concurrency hardening (two defenses; jax's cache writes have segfaulted
+# when two processes shared one cache dir — round-3 flake):
+#   1. a non-blocking flock marks the shared cache as "in use by a pytest
+#      run"; a second concurrent pytest that cannot take it falls back to
+#      a private per-run temp cache (slower, but both runs complete);
+#   2. all cache WRITES are serialized across processes via
+#      runtime.install_cache_write_lock (guards against non-pytest jax
+#      processes, e.g. an on-chip sweep, sharing the dir).
+_cache_dir = os.path.abspath(os.environ.get(
     "WAVEOME_TEST_CACHE_DIR",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+))
+_pytest_lock_handle = None  # held for the whole session
+if "WAVEOME_TEST_CACHE_DIR" not in os.environ:
+    import fcntl
+    import tempfile
+
+    os.makedirs(_cache_dir, exist_ok=True)
+    _pytest_lock_handle = open(
+        os.path.join(_cache_dir, ".pytest.lock"), "w")
+    try:
+        fcntl.flock(_pytest_lock_handle, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        _pytest_lock_handle.close()
+        _pytest_lock_handle = None
+        _cache_dir = tempfile.mkdtemp(prefix="waveome_test_cache_")
+        print(f"[conftest] shared .jax_cache busy (another pytest run); "
+              f"using private cache {_cache_dir}")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import waveome_tpu  # noqa: E402
+from waveome_tpu.runtime import install_cache_write_lock  # noqa: E402
 
+install_cache_write_lock(_cache_dir)
 waveome_tpu.set_precision("float64")

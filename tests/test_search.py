@@ -395,7 +395,8 @@ def test_capped_dispatch_slices_match_uncapped(monkeypatch,
                                    rtol=1e-10, err_msg=lik)
 
 
-def test_segment_compaction_matches_uncompacted(monkeypatch):
+def test_segment_compaction_matches_uncompacted(monkeypatch,
+                                                no_cache_writes):
     """Between-segment compaction of converged fits (engine._seg_loop)
     must not change any fit's result: rows are gathered/scattered, never
     re-ordered within a fit, and duplicate padding evolves identically."""

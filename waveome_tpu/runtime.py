@@ -224,3 +224,49 @@ class ProgressCounter:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# persistent-compilation-cache write guard
+# ---------------------------------------------------------------------------
+
+
+def install_cache_write_lock(cache_dir: str) -> None:
+    """Serialize jax persistent-cache writes across processes via flock.
+
+    Two jax processes sharing one ``jax_compilation_cache_dir`` have
+    segfaulted inside the PJRT ``executable.serialize()`` that
+    ``compilation_cache.put_executable_and_time`` calls (observed twice
+    in round 3: a pytest suite concurrent with an on-chip sweep). An
+    advisory ``flock`` around the whole put makes writes mutually
+    exclusive across processes; reads stay lock-free. Idempotent;
+    wraps a private jax API, so failure to install degrades to a
+    warning (the cache still works, just unguarded).
+    """
+    import functools
+    import warnings
+
+    try:
+        import fcntl
+
+        from jax._src import compilation_cache as cc
+    except Exception as e:  # pragma: no cover - jax internals moved
+        warnings.warn(f"cache write lock unavailable: {e}")
+        return
+    if getattr(cc, "_waveome_write_lock", None) is not None:
+        return
+    orig = cc.put_executable_and_time
+    lock_path = os.path.join(cache_dir, ".write.lock")
+
+    @functools.wraps(orig)
+    def locked_put(*args, **kwargs):
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(lock_path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                return orig(*args, **kwargs)
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    cc.put_executable_and_time = locked_put
+    cc._waveome_write_lock = lock_path
