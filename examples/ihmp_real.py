@@ -133,17 +133,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        # IHMP_CACHE_DIR isolates this run's compile cache — two
-        # processes sharing one cache dir have segfaulted inside jax's
-        # persistent-cache write (ROADMAP round-3 closing notes)
-        os.environ.get("IHMP_CACHE_DIR",
-                       os.path.join(os.path.dirname(HERE), ".jax_cache")),
-    )
+    cache_dir = os.environ.get(
+        "IHMP_CACHE_DIR",
+        os.path.join(os.path.dirname(HERE), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from waveome_tpu import GPSearch
+    from waveome_tpu.runtime import install_cache_write_lock
+
+    # cross-process write serialization: two processes sharing one cache
+    # dir have segfaulted inside jax's persistent-cache write (ROADMAP
+    # round-3 closing notes)
+    install_cache_write_lock(cache_dir)
 
     os.makedirs(OUT_DIR, exist_ok=True)
     X, Y, lookup = load_ihmp()

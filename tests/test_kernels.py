@@ -163,6 +163,42 @@ def test_coded_matches_static():
     np.testing.assert_allclose(d_coded, d_static, rtol=1e-8)
 
 
+def test_coded_matches_static_all_ops_and_orders():
+    """Coded dispatch == static dispatch for EVERY op, including every
+    arccosine order (0/1/2) — non-default orders ride an "orders" array
+    in the coded dict (VERDICT r3: order was silently pinned to 1)."""
+    X = _rand_X(9, 4)
+    cases = [("squared_exponential", 1, {}), ("matern12", 1, {}),
+             ("matern32", 2, {}), ("matern52", 2, {}),
+             ("linear", 3, {}), ("periodic", 1, {}),
+             ("categorical", 0, {}), ("polynomial", 1, {"degree": 2.0}),
+             ("rational_quadratic", 2, {}), ("constant", 0, {}),
+             ("arccosine", 1, {"order": 0}),
+             ("arccosine", 1, {"order": 1}),
+             ("arccosine", 2, {"order": 2})]
+    for op, dim, kw in cases:
+        spec = KernelSpec(((Primitive(op, dim, **kw),),))
+        raw = spec.init_raw_params() + 0.2 * jnp.asarray(
+            rng.normal(size=spec.init_raw_params().shape))
+        coded = spec.coded()
+        if kw.get("order", 1) != 1:
+            assert "orders" in coded, f"{op} order not exported"
+        else:
+            # default order keeps the original operand set so existing
+            # compiled search programs stay cache-valid
+            assert "orders" not in coded
+        K_static = np.asarray(gram(spec, raw, X))
+        K_coded = np.asarray(gram_coded(coded, raw, X))
+        np.testing.assert_allclose(
+            K_coded, K_static, rtol=1e-8,
+            err_msg=f"coded gram mismatch for {op} {kw}")
+        d_static = np.asarray(gram_diag(spec, raw, X))
+        d_coded = np.asarray(gram_diag_coded(coded, raw, X))
+        np.testing.assert_allclose(
+            d_coded, d_static, rtol=1e-8,
+            err_msg=f"coded diag mismatch for {op} {kw}")
+
+
 def test_grams_are_psd():
     X = _rand_X(12, 3)
     for op, dim in [("squared_exponential", 1), ("matern12", 1),

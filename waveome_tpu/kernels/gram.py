@@ -292,6 +292,65 @@ def _call_diag(fn, p, a, d):
     return fn(p, a, degree=d, order=1)
 
 
+# --- order-aware coded dispatch ------------------------------------------
+# Used only when the coded dict carries an "orders" array (a spec with a
+# non-default arccosine order somewhere). The default path above keeps its
+# exact operand set so compiled search programs stay cache-valid; gpflow's
+# ArcCosine supports orders (0, 1, 2) (kernels/ops.py:76).
+
+
+def _arccos_gram_ord(p, a, b, d, o):
+    return jax.lax.switch(
+        jnp.clip(o, 0, 2),
+        [lambda p, a, b, d: ops.k_arccosine(p, a, b, degree=d, order=0),
+         lambda p, a, b, d: ops.k_arccosine(p, a, b, degree=d, order=1),
+         lambda p, a, b, d: ops.k_arccosine(p, a, b, degree=d, order=2)],
+        p, a, b, d)
+
+
+def _arccos_diag_ord(p, a, d, o):
+    return jax.lax.switch(
+        jnp.clip(o, 0, 2),
+        [lambda p, a, d: ops.kdiag_arccosine(p, a, degree=d, order=0),
+         lambda p, a, d: ops.kdiag_arccosine(p, a, degree=d, order=1),
+         lambda p, a, d: ops.kdiag_arccosine(p, a, degree=d, order=2)],
+        p, a, d)
+
+
+def _factor_gram_ord(op, p, x1, x2, degree, order, table=_ALL_OPS):
+    branches = []
+    for code in table:
+        fn = ops.GRAM_FNS[code]
+        if code == ops.EMPTY:
+            branches.append(
+                lambda p, a, b, d, o: jnp.ones((a.shape[0], b.shape[0]),
+                                               dtype=a.dtype))
+        elif code == ops.ARCCOSINE:
+            branches.append(_arccos_gram_ord)
+        else:
+            branches.append(
+                partial(lambda fn, p, a, b, d, o:
+                        fn(p, a, b, degree=d, order=1), fn))
+    return jax.lax.switch(_code_index(op, table), branches,
+                          p, x1, x2, degree, order)
+
+
+def _factor_diag_ord(op, p, x, degree, order, table=_ALL_OPS):
+    branches = []
+    for code in table:
+        fn = ops.DIAG_FNS[code]
+        if code == ops.EMPTY:
+            branches.append(lambda p, a, d, o: jnp.ones_like(a))
+        elif code == ops.ARCCOSINE:
+            branches.append(_arccos_diag_ord)
+        else:
+            branches.append(
+                partial(lambda fn, p, a, d, o:
+                        fn(p, a, degree=d, order=1), fn))
+    return jax.lax.switch(_code_index(op, table), branches,
+                          p, x, degree, order)
+
+
 def gram_coded(
     coded: dict,
     raw: jnp.ndarray,
@@ -305,13 +364,17 @@ def gram_coded(
     ``ops_table``: static tuple restricting the per-factor op switch to the
     codes that can occur (must include EMPTY); None = all ops.
 
-    Note: arccosine order is fixed to the gpflow default (1) in coded mode.
+    Arccosine order: the default-order coded dict omits "orders" and uses
+    the original dispatch (identical program, cache-valid); a spec with a
+    non-default order exports an "orders" array and routes through the
+    order-aware switch.
     """
     if X2 is None:
         X2 = X1
     table = ops_table or _ALL_OPS
     params = constrain(raw)
     op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
+    ord_arr = coded.get("orders")
     C, F = op_arr.shape
     N1, N2 = X1.shape[0], X2.shape[0]
     total = jnp.zeros((N1, N2), dtype=X1.dtype)
@@ -320,8 +383,13 @@ def gram_coded(
         for j in range(F):
             x1 = jnp.take(X1, dim_arr[i, j], axis=1)
             x2 = jnp.take(X2, dim_arr[i, j], axis=1)
-            Kc = Kc * _factor_gram(op_arr[i, j], params[i, j], x1, x2,
+            if ord_arr is None:
+                kij = _factor_gram(op_arr[i, j], params[i, j], x1, x2,
                                    deg_arr[i, j], table)
+            else:
+                kij = _factor_gram_ord(op_arr[i, j], params[i, j], x1, x2,
+                                       deg_arr[i, j], ord_arr[i, j], table)
+            Kc = Kc * kij
         active = jnp.any(op_arr[i] != ops.EMPTY).astype(X1.dtype)
         if component_mask is not None:
             active = active * component_mask[i]
@@ -339,14 +407,20 @@ def gram_diag_coded(
     table = ops_table or _ALL_OPS
     params = constrain(raw)
     op_arr, dim_arr, deg_arr = coded["ops"], coded["dims"], coded["degrees"]
+    ord_arr = coded.get("orders")
     C, F = op_arr.shape
     total = jnp.zeros((X.shape[0],), dtype=X.dtype)
     for i in range(C):
         kd = jnp.ones((X.shape[0],), dtype=X.dtype)
         for j in range(F):
             x = jnp.take(X, dim_arr[i, j], axis=1)
-            kd = kd * _factor_diag(op_arr[i, j], params[i, j], x,
+            if ord_arr is None:
+                dij = _factor_diag(op_arr[i, j], params[i, j], x,
                                    deg_arr[i, j], table)
+            else:
+                dij = _factor_diag_ord(op_arr[i, j], params[i, j], x,
+                                       deg_arr[i, j], ord_arr[i, j], table)
+            kd = kd * dij
         active = jnp.any(op_arr[i] != ops.EMPTY).astype(X.dtype)
         if component_mask is not None:
             active = active * component_mask[i]

@@ -119,16 +119,24 @@ class KernelSpec:
         op_arr = np.zeros((C, F), dtype=np.int32)
         dim_arr = np.zeros((C, F), dtype=np.int32)
         deg_arr = np.full((C, F), 3.0, dtype=np.float32)
+        ord_arr = np.ones((C, F), dtype=np.int32)
         for i, comp in enumerate(spec.components):
             for j, p in enumerate(comp):
                 op_arr[i, j] = p.code
                 dim_arr[i, j] = p.dim
                 deg_arr[i, j] = p.degree
-        return {
+                ord_arr[i, j] = p.order
+        coded = {
             "ops": jnp.asarray(op_arr),
             "dims": jnp.asarray(dim_arr),
             "degrees": jnp.asarray(deg_arr, dtype=default_float()),
         }
+        # arccosine order rides along ONLY when non-default somewhere:
+        # the all-default coded dict (the search engine's case) keeps its
+        # exact operand set, so existing compiled programs stay valid
+        if (ord_arr != 1).any():
+            coded["orders"] = jnp.asarray(ord_arr)
+        return coded
 
     # -- parameters --
     def init_raw_params_np(self) -> np.ndarray:
