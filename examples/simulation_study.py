@@ -7,7 +7,23 @@ longitudinal kernels, fit with (a) the penalized saturated-kernel path and
 (b) the greedy kernel search, and score feature recovery, holdout MSE and
 KL-to-truth.
 
+Two observation models, matching the reference's two studies:
+
+* ``--likelihood gaussian`` (default): Gaussian outcomes, baselines =
+  mixed LM / LASSO / GAM / GP-ARD (sim_waveome_hpc_run.py:221-245,
+  :906-951, :1034-1075, :1160-1190).
+* ``--likelihood nb``: NB counts simulated exactly as the reference
+  (:144-186 — latent eps noise, mean exp(f+eps), variance m+alpha*m^2),
+  baselines = NB-GLM (:771-840) and NB-GP-ARD (:1282-1310), scored with
+  the calc_kl_all truth-vs-model mean log-density ratio (:370-451).
+
+``--sweep`` runs the (rate x units x noise) grid — the reduced-footprint
+counterpart of the reference's 576-combination SLURM sweep (:1446) — and
+writes examples/output/sim_study/{gaussian,count}_sweep.json.
+
 Run:  python examples/simulation_study.py [--units 10] [--rate 8]
+      python examples/simulation_study.py --likelihood nb --baselines
+      python examples/simulation_study.py --likelihood nb --sweep
 """
 
 import argparse
@@ -19,19 +35,114 @@ import json
 
 import numpy as np
 
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "output", "sim_study")
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--units", type=int, default=10)
     ap.add_argument("--rate", type=int, default=8)
     ap.add_argument("--noise", type=float, default=0.3)
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="NB dispersion (sim_waveome_hpc_run.py alpha)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--max-depth", type=int, default=3)
     ap.add_argument("--skip-search", action="store_true")
+    ap.add_argument("--likelihood", choices=["gaussian", "nb"],
+                    default="gaussian")
     ap.add_argument("--baselines", action="store_true",
                     help="also fit the reference harness's baseline "
-                         "model families (mixed LM, LASSO, GAM, GP-ARD)")
+                         "model families (mixed LM, LASSO, GAM, GP-ARD "
+                         "for gaussian; NB-GLM, NB-GP-ARD for nb)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the (rate x units x noise) grid and write "
+                         "a results artifact (implies --baselines)")
     args = ap.parse_args()
+
+    if args.sweep:
+        return run_sweep(args)
+    report = (run_count_config(args) if args.likelihood == "nb"
+              else run_gaussian_config(args))
+    print(json.dumps(report, indent=2, default=str))
+
+
+def run_sweep(args):
+    """(rate x units x noise) grid -> committed JSON artifact.
+
+    The reference sweeps 576 combinations across a 15-task SLURM array
+    with a 14-day limit (sim_waveome_hpc_script.sh); this reduced grid
+    (2x2x2 x 4 ground-truth kernels) exercises the same axes in
+    minutes-on-a-chip / tens-of-minutes-on-CPU.
+    """
+    import copy
+    import time
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    grid = {"rate": [4, 8], "units": [8, 16], "noise": [0.1, 0.5]}
+    rows = []
+    t0 = time.time()
+    for rate in grid["rate"]:
+        for units in grid["units"]:
+            for noise in grid["noise"]:
+                a = copy.copy(args)
+                a.rate, a.units, a.noise = rate, units, noise
+                a.baselines = True
+                run = (run_count_config(a) if args.likelihood == "nb"
+                       else run_gaussian_config(a))
+                rows.append({"rate": rate, "units": units, "noise": noise,
+                             "results": run})
+                print(f"# sweep cell rate={rate} units={units} "
+                      f"noise={noise} done ({time.time() - t0:.0f}s)")
+    artifact = {
+        "likelihood": args.likelihood,
+        "alpha": args.alpha if args.likelihood == "nb" else None,
+        "grid": grid,
+        "seed": args.seed,
+        "max_iter": args.max_iter,
+        "wall_s": round(time.time() - t0, 1),
+        "cells": rows,
+        "summary": summarize_sweep(rows),
+    }
+    name = "count_sweep.json" if args.likelihood == "nb" \
+        else "gaussian_sweep.json"
+    with open(os.path.join(OUT_DIR, name), "w") as f:
+        json.dump(artifact, f, indent=2, default=str)
+    print(json.dumps(artifact["summary"], indent=2, default=str))
+    print(f"wrote {os.path.join(OUT_DIR, name)}")
+
+
+def summarize_sweep(rows):
+    """Mean KL / MSE / recovery per model family across cells+kernels."""
+    agg = {}
+    for row in rows:
+        for _yname, entry in row["results"].items():
+            for fam, met in entry.items():
+                if not isinstance(met, dict):
+                    continue
+                a = agg.setdefault(fam, {"kl": [], "mse": [], "rec": []})
+                if met.get("kl_to_truth") is not None:
+                    a["kl"].append(float(met["kl_to_truth"]))
+                if met.get("holdout_mse") is not None:
+                    a["mse"].append(float(met["holdout_mse"]))
+                if isinstance(met.get("recovery"), dict):
+                    a["rec"].append(float(met["recovery"]["recall"]))
+    out = {}
+    for fam, a in agg.items():
+        out[fam] = {
+            "mean_kl_to_truth": (round(float(np.mean(a["kl"])), 4)
+                                 if a["kl"] else None),
+            "mean_holdout_mse": (round(float(np.mean(a["mse"])), 4)
+                                 if a["mse"] else None),
+            "mean_recall": (round(float(np.mean(a["rec"])), 4)
+                            if a["rec"] else None),
+            "n_fits": max(len(a["kl"]), len(a["mse"])),
+        }
+    return out
+
+
+def run_gaussian_config(args):
 
     import jax.numpy as jnp
 
@@ -137,7 +248,130 @@ def main():
         report[yname] = entry
         print(f"{yname}: {json.dumps(entry, default=str)}")
 
-    print(json.dumps(report, indent=2, default=str))
+    return report
+
+
+# ---------------------------------------------------------------------------
+# count-outcome study (NB observation model — the reference's main
+# evaluation setting, sim_waveome_hpc_run.py:144-186 generator)
+# ---------------------------------------------------------------------------
+
+
+def run_count_config(args):
+    import jax.numpy as jnp
+
+    from waveome_tpu import datasets
+    from waveome_tpu.fit import penalized_fit
+    from waveome_tpu.kernels import full_kernel_build
+    from waveome_tpu.models import svgp
+    from waveome_tpu.search import full_kernel_search
+
+    X = datasets.longitudinal_design(args.units, args.rate, seed=args.seed)
+    hold = datasets.longitudinal_design(args.units, args.rate,
+                                        seed=args.seed + 1)
+    n, nh = X.shape[0], hold.shape[0]
+    Xall = np.vstack([X, hold])
+
+    truths = datasets.ground_truth_specs()
+    spec_sat, names = full_kernel_build(
+        cat_vars=[0, 1], num_vars=[2], unit_idx=0,
+        var_names=["id", "treat", "time"], return_sum=True,
+    )
+
+    report = {}
+    for yname, (true_spec, true_raw) in truths.items():
+        # one latent draw over train+holdout rows so the realized truth
+        # (n, p per row) is known at BOTH — calc_kl_all scores models
+        # against this realized truth, not the marginal GP
+        Yall, lik_params = datasets.simulate_gp_outcomes(
+            Xall, true_spec, true_raw, noise_sd=args.noise,
+            alpha=args.alpha, seed=args.seed + hash(yname) % 1000,
+            likelihood="negative_binomial", return_latent=True,
+        )
+        Y, Yh = Yall[:n], Yall[n:]
+        n_t, p_t = lik_params["n"][n:, 0], lik_params["p"][n:, 0]
+        mean_t = lik_params["mean"][n:, 0]
+        true_feats = sorted({p.dim for c in true_spec.components
+                             for p in c})
+        entry = {}
+
+        # (a) penalized saturated path, NB likelihood
+        config = svgp.make_config(spec_sat, "negative_binomial",
+                                  num_data=n, input_dim=3,
+                                  num_inducing_points=n)
+        params0 = svgp.init_params(config, jnp.asarray(X))
+        # GLM-style mean init for the exp link (fit/batch.py:178)
+        params0["mean_c"] = jnp.log(jnp.maximum(
+            jnp.asarray(Y).mean(), 1e-6))[None]
+        res = penalized_fit(config, params0, jnp.asarray(X),
+                            jnp.asarray(Y), num_factor_iter=0,
+                            max_iter=args.max_iter,
+                            compute_importances=False)
+        mask = np.asarray(res.component_mask)
+        kept = [names[i] for i in range(len(names)) if mask[i] > 0]
+        import re
+
+        feats = sorted({int(d) for k in kept
+                        for d in re.findall(r"\[(\d+)\]", _to_idx(k))})
+        mk = dict(component_mask=jnp.asarray(res.component_mask),
+                  factor_mask=jnp.asarray(res.factor_mask))
+        mu_p, _ = svgp.predict_y(config, res.params, jnp.asarray(hold),
+                                 **mk)
+        log_q = svgp.predict_log_density(
+            config, res.params, jnp.asarray(hold),
+            jnp.asarray(Yh), **mk)
+        entry["penalized"] = {
+            "kernel": "+".join(kept),
+            "recovery": datasets.feature_recovery_score(
+                true_feats, "+".join(f"x[{f}]" for f in feats)),
+            "holdout_mse": datasets.holdout_mse(
+                mean_t, np.asarray(mu_p)),
+            "kl_to_truth": datasets.nb_kl_to_truth(
+                n_t, p_t, Yh, np.asarray(log_q)),
+        }
+
+        # (b) greedy search, NB likelihood
+        if not args.skip_search:
+            sres = full_kernel_search(
+                X, Y, kern_list=["squared_exponential", "matern12",
+                                 "linear"],
+                cat_vars=[0, 1], max_depth=args.max_depth, num_restart=1,
+                lik="negative_binomial", max_iter=args.max_iter,
+                random_seed=args.seed, num_inducing_points=n,
+            )
+            best = sres["best_model_name"]
+            bm = sres["best_model"]
+            mu_s, _ = bm.predict_y(hold)
+            log_qs = bm.predict_log_density(hold, Yh)
+            entry["search"] = {
+                "kernel": best,
+                "recovery": datasets.feature_recovery_score(
+                    true_feats, best),
+                "holdout_mse": datasets.holdout_mse(
+                    mean_t, np.asarray(mu_s)),
+                "kl_to_truth": datasets.nb_kl_to_truth(
+                    n_t, p_t, Yh, np.asarray(log_qs)),
+            }
+
+        # (c) count-outcome baselines (NB-GLM :771-840, NB-GP-ARD
+        # :1282-1310)
+        if args.baselines:
+            for bname, fit_fn in (("nb_glm", fit_nb_glm),
+                                  ("nb_gp_ard", fit_nb_gp_ard)):
+                mu_b, log_qb, feats_b = fit_fn(X, Y, hold, Yh)
+                entry[bname] = {
+                    "recovery": datasets.feature_recovery_score(
+                        true_feats,
+                        "+".join(f"x[{f}]" for f in feats_b)),
+                    "holdout_mse": datasets.holdout_mse(mean_t, mu_b),
+                    "kl_to_truth": datasets.nb_kl_to_truth(
+                        n_t, p_t, Yh, log_qb),
+                }
+
+        report[yname] = entry
+        print(f"{yname}: {json.dumps(entry, default=str)}")
+
+    return report
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +525,147 @@ def fit_gp_ard(X, Y, Xnew, max_iter=150):
     params.update(q_mu=q_mu, q_sqrt_raw=q_sqrt)
     mu, var = svgp.predict_y(config, params, jnp.asarray(Xnew))
     return np.asarray(mu)[:, 0], np.asarray(var)[:, 0]
+
+
+def _nb_design(X, Xnew):
+    """The NB-GLM formula's design (sim_waveome_hpc_run.py:781):
+    y ~ C(id) + time + treat + C(id)*time + C(id)*treat + time*treat.
+
+    Returns (A, An, groups): full-one-hot design matrices (intercept
+    first; ridge handles the redundancy the reference's treatment coding
+    avoids) and {term: (column slice, feature indices)} for Wald tests.
+    """
+    units = np.unique(X[:, 0]).astype(int)
+    U = len(units)
+
+    def dm(A):
+        oh = (A[:, 0].astype(int)[:, None] == units[None, :]).astype(float)
+        return np.column_stack([
+            np.ones(len(A)), oh, A[:, 2], A[:, 1],
+            oh * A[:, 2:3], oh * A[:, 1:2], A[:, 1] * A[:, 2],
+        ])
+
+    groups = {
+        "id": (slice(1, 1 + U), [0]),
+        "time": (slice(1 + U, 2 + U), [2]),
+        "treat": (slice(2 + U, 3 + U), [1]),
+        "id*time": (slice(3 + U, 3 + 2 * U), [0, 2]),
+        "id*treat": (slice(3 + 2 * U, 3 + 3 * U), [0, 1]),
+        "time*treat": (slice(3 + 3 * U, 4 + 3 * U), [1, 2]),
+    }
+    return dm(X), dm(Xnew), groups
+
+
+def fit_nb_glm(X, Y, Xnew, Yhold, alphas=range(1, 11), n_iter=60):
+    """NB-GLM via IRLS with an alpha grid selected by log-likelihood —
+    the reference's statsmodels glm(NegativeBinomial(alpha)) loop
+    (sim_waveome_hpc_run.py:771-840). Feature set from grouped Wald
+    tests at p<0.05 (:801-815). Returns (holdout mean, holdout
+    log-density at Yhold, recovered feature indices)."""
+    from scipy.stats import chi2, nbinom
+
+    A, An, groups = _nb_design(X, Xnew)
+    y = np.asarray(Y)[:, 0]
+    ridge = 1e-6
+
+    def irls(a):
+        beta = np.zeros(A.shape[1])
+        beta[0] = np.log(max(y.mean(), 1e-6))
+        for _ in range(n_iter):
+            eta = np.clip(A @ beta, -30, 30)
+            mu = np.exp(eta)
+            w = mu / (1.0 + a * mu)           # NB2 working weights
+            score = A.T @ ((y - mu) / (1.0 + a * mu))
+            H = (A * w[:, None]).T @ A + ridge * np.eye(A.shape[1])
+            try:
+                step = np.linalg.solve(H, score)
+            except np.linalg.LinAlgError:
+                return None, -np.inf, None
+            beta_new = beta + step
+            if not np.all(np.isfinite(beta_new)):
+                return None, -np.inf, None
+            if np.max(np.abs(beta_new - beta)) < 1e-8:
+                beta = beta_new
+                break
+            beta = beta_new
+        mu = np.exp(np.clip(A @ beta, -30, 30))
+        ll = float(nbinom(n=1.0 / a, p=1.0 / (1.0 + a * mu)).logpmf(y)
+                   .sum())
+        H = (A * (mu / (1.0 + a * mu))[:, None]).T @ A \
+            + ridge * np.eye(A.shape[1])
+        return beta, ll, H
+
+    best = None
+    for a in alphas:
+        beta, ll, H = irls(float(a))
+        if beta is not None and (best is None or ll > best[1]):
+            best = (beta, ll, H, float(a))
+    beta, _, H, a = best
+    cov = np.linalg.inv(H)
+
+    feats = set()
+    for _term, (sl, fidx) in groups.items():
+        b_g = beta[sl]
+        c_g = cov[sl, sl]
+        try:
+            stat = float(b_g @ np.linalg.solve(c_g, b_g))
+        except np.linalg.LinAlgError:
+            continue
+        if chi2(df=len(b_g)).sf(stat) < 0.05:
+            feats.update(fidx)
+
+    mu_h = np.exp(np.clip(An @ beta, -30, 30))
+    log_q = nbinom(n=1.0 / a, p=1.0 / (1.0 + a * mu_h)).logpmf(
+        np.asarray(Yhold)[:, 0])
+    return mu_h, log_q, sorted(feats)
+
+
+def fit_nb_gp_ard(X, Y, Xnew, Yhold, max_iter=200):
+    """Variational GP with an SE-ARD kernel over the dummy-coded design
+    and the NB likelihood — the reference's gpflow VGP baseline
+    (sim_waveome_hpc_run.py:1282-1310), built from the framework's own
+    machinery. Feature set from the reference's lengthscale window
+    0.01 < l < 6 on standardized columns (:1306-1310)."""
+    import jax.numpy as jnp
+
+    from waveome_tpu.kernels.gram import constrain
+    from waveome_tpu.kernels.spec import KernelSpec, Primitive
+    from waveome_tpu.models import svgp
+    from waveome_tpu.optimize.plbfgs import plbfgs_fit
+
+    A, An, groups = _nb_design(X, Xnew)
+    A, An = A[:, 1:], An[:, 1:]  # drop intercept (the GP mean carries it)
+    mu_a, sd_a = A.mean(0), A.std(0) + 1e-12
+    As, Ans = (A - mu_a) / sd_a, (An - mu_a) / sd_a
+    # column -> base-feature map from the design's term groups
+    col_feats = []
+    for _term, (sl, fidx) in groups.items():
+        col_feats += [fidx] * (sl.stop - sl.start)
+
+    D = As.shape[1]
+    spec = KernelSpec((tuple(
+        Primitive("squared_exponential", d) for d in range(D)),))
+    config = svgp.make_config(spec, "negative_binomial",
+                              num_data=As.shape[0], input_dim=D,
+                              num_inducing_points=As.shape[0])
+    Xd, Yd = jnp.asarray(As), jnp.asarray(Y)
+    p0 = svgp.init_params(config, Xd)
+    p0["mean_c"] = jnp.log(jnp.maximum(Yd.mean(), 1e-6))[None]
+
+    def loss(p):
+        return svgp.training_loss(config, p, Xd, Yd)
+
+    res = plbfgs_fit(loss, p0, mask=svgp.train_mask_np(config),
+                     max_iter=max_iter)
+    params = res.params
+    ls = np.asarray(constrain(params["kernel_raw"]))[0, :, 1]
+    feats = sorted({
+        f for d in range(D) if 0.01 < ls[d] < 6.0 for f in col_feats[d]
+    })
+    mu, _ = svgp.predict_y(config, params, jnp.asarray(Ans))
+    log_q = svgp.predict_log_density(config, params, jnp.asarray(Ans),
+                                     jnp.asarray(Yhold))
+    return np.asarray(mu)[:, 0], np.asarray(log_q), feats
 
 
 def _to_idx(kernel_name: str) -> str:

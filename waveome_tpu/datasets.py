@@ -96,9 +96,20 @@ def simulate_gp_outcomes(
     num_outcomes: int = 1,
     seed: Optional[int] = None,
     likelihood: str = "gaussian",
+    alpha: float = 1.0,
+    return_latent: bool = False,
 ) -> np.ndarray:
     """Draw outcomes from a GP with the given kernel + observation model
-    (the sim harness's generator, sim_waveome_hpc_run.py:90-190)."""
+    (the sim harness's generator, sim_waveome_hpc_run.py:90-190).
+
+    Count outcomes follow the reference's NB generator exactly
+    (sim_waveome_hpc_run.py:144-186): latent f ~ GP, latent noise
+    ``noise_sd`` (the harness's ``eps``) added to f, mean m = exp(f+ε),
+    variance σ² = m + α·m², y ~ NB(n = m²/(σ²−m) = 1/α, p = m/σ²).
+    ``return_latent`` also returns the realized per-row likelihood
+    params (the harness's ``likelihood_params``) — the KL-to-truth
+    metric scores each model's predictive against THIS realized truth.
+    """
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -112,15 +123,25 @@ def simulate_gp_outcomes(
     L = np.linalg.cholesky(K + jit * np.eye(N))
     F = L @ rng.normal(size=(N, num_outcomes))
     if likelihood == "gaussian":
-        return F + noise_sd * rng.normal(size=F.shape)
+        Y = F + noise_sd * rng.normal(size=F.shape)
+        if return_latent:
+            return Y, {"f": F, "noise_sd": noise_sd}
+        return Y
     if likelihood == "poisson":
-        return rng.poisson(np.exp(F)).astype(float)
+        Y = rng.poisson(np.exp(F)).astype(float)
+        if return_latent:
+            return Y, {"f": F, "mean": np.exp(F)}
+        return Y
     if likelihood in ("negative_binomial", "negativebinomial"):
-        alpha = noise_sd  # dispersion
-        m = np.exp(F)
-        r = 1.0 / alpha
-        p = r / (m + r)
-        return rng.negative_binomial(r, p).astype(float)
+        f_noise = F + noise_sd * rng.normal(size=F.shape)
+        m = np.exp(f_noise)
+        sigma2 = m + alpha * m ** 2
+        p = m / sigma2
+        n = m ** 2 / (sigma2 - m)
+        Y = rng.negative_binomial(n, p).astype(float)
+        if return_latent:
+            return Y, {"f": F, "mean": m, "n": n, "p": p, "alpha": alpha}
+        return Y
     raise ValueError(f"unsupported simulation likelihood {likelihood}")
 
 
@@ -142,6 +163,23 @@ def gaussian_kl(mu_true, var_true, mu_est, var_est):
         - 1.0
     )
     return float(np.mean(kl))
+
+
+def nb_kl_to_truth(n_true, p_true, y, log_q) -> float:
+    """Mean log-density ratio of truth vs model at the observed counts —
+    ``calc_kl_all`` (sim_waveome_hpc_run.py:370-451): p_x is the true
+    NB pmf at y, q_x the model's predictive density at y, both
+    truncated to [0.001, 0.999]; returns mean(log(p_x/q_x))."""
+    from scipy.stats import nbinom
+
+    y = np.asarray(y).reshape(-1)
+    p_x = nbinom(n=np.asarray(n_true).reshape(-1),
+                 p=np.asarray(p_true).reshape(-1)).pmf(y)
+    q_x = np.exp(np.asarray(log_q, dtype=np.float64).reshape(-1))
+    q_x[~np.isfinite(q_x)] = 0.0
+    p_x = np.clip(p_x, 0.001, 0.999)
+    q_x = np.clip(q_x, 0.001, 0.999)
+    return float(np.mean(np.log(p_x / q_x)))
 
 
 def holdout_mse(y_true, y_pred) -> float:
