@@ -35,6 +35,17 @@ import json
 
 import numpy as np
 
+# SIM_PLATFORM=cpu forces the host backend (the axon TPU plugin
+# overrides JAX_PLATFORMS unless its factory is dropped pre-init) so a
+# sweep can run CPU-side while the chip works another job
+if os.environ.get("SIM_PLATFORM") == "cpu":
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "output", "sim_study")
 

@@ -426,3 +426,81 @@ def test_segment_compaction_matches_uncompacted(monkeypatch,
     np.testing.assert_allclose(comp.bic, plain.bic, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(comp.loglik),
                                np.asarray(plain.loglik), rtol=1e-10)
+
+
+def test_fit_candidates_mesh_matches_single_device(no_cache_writes):
+    """Candidate batches sharded over the 8-device CPU mesh (the
+    multi-chip replacement for the reference's Ray search farm,
+    model_search.py:1149-1222) produce the same fits as the
+    single-device path — Gaussian (vmapped L-BFGS) and non-Gaussian
+    (segmented Adam+NatGrad with device-multiple compaction widths)."""
+    import jax
+
+    from waveome_tpu.parallel.mesh import outcome_mesh
+
+    mesh = outcome_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(21)
+    n = 40
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    specs = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("linear", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),
+                    (Primitive("squared_exponential", 1),))),
+        KernelSpec(((Primitive("categorical", 0),
+                     Primitive("squared_exponential", 1)),)),
+    ]
+
+    Yg = (np.sin(1.7 * X[:, 1]) + 0.2 * rng.normal(size=n))[:, None]
+    single, _ = fit_candidates(specs, X, Yg, likelihood="gaussian",
+                               num_restart=2, max_iter=120,
+                               random_seed=5)
+    sharded, _ = fit_candidates(specs, X, Yg, likelihood="gaussian",
+                                num_restart=2, max_iter=120,
+                                random_seed=5, mesh=mesh)
+    np.testing.assert_allclose(sharded.bic, single.bic, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.loglik),
+                               np.asarray(single.loglik), rtol=1e-6)
+
+    Yp = rng.poisson(np.exp(0.4 * X[:, 1]) + 1.0).astype(float)[:, None]
+    single_p, _ = fit_candidates(specs, X, Yp, likelihood="poisson",
+                                 num_restart=1, max_iter=100,
+                                 random_seed=5)
+    sharded_p, _ = fit_candidates(specs, X, Yp, likelihood="poisson",
+                                  num_restart=1, max_iter=100,
+                                  random_seed=5, mesh=mesh)
+    np.testing.assert_allclose(sharded_p.bic, single_p.bic, rtol=1e-6)
+
+
+def test_lockstep_search_on_mesh():
+    """Depth-2 lockstep search with mesh= recovers the same structures
+    as the single-device run (the search path's multi-chip sharding —
+    SURVEY §2.8)."""
+    import jax
+
+    from waveome_tpu.parallel.mesh import outcome_mesh
+    from waveome_tpu.search.greedy import multi_outcome_kernel_search
+
+    rng = np.random.default_rng(9)
+    n_units, n_per = 8, 6
+    ids = np.repeat(np.arange(n_units), n_per).astype(float)
+    t = np.tile(np.linspace(-2, 2, n_per), n_units)
+    X = np.column_stack([ids, t])
+    n = X.shape[0]
+    effects = 2.0 * rng.normal(size=n_units)
+    Ys = np.column_stack([
+        np.sin(1.8 * t) + 0.15 * rng.normal(size=n),
+        effects[ids.astype(int)] + 0.2 * rng.normal(size=n),
+    ])
+    kw = dict(kern_list=["squared_exponential"], cat_vars=[0],
+              out_names=["sin", "intercepts"], max_depth=2,
+              num_restart=1, max_iter=150, random_seed=0)
+    plain = multi_outcome_kernel_search(X, Ys, **kw)
+    meshed = multi_outcome_kernel_search(
+        X, Ys, mesh=outcome_mesh(jax.devices()[:8]), **kw)
+    for o in ["sin", "intercepts"]:
+        assert meshed[o]["best_model_name"] == plain[o]["best_model_name"]
+        np.testing.assert_allclose(meshed[o]["var_exp"],
+                                   plain[o]["var_exp"], atol=2e-3)

@@ -7,7 +7,9 @@ from .greedy import (
     keep_top_k,
     split_kernel_search,
 )
+from .greedy import multi_outcome_kernel_search
 from .softmax import softmax_kernel_search, softmax_kernel_selection
+from .sweep import run_search_sweep
 
 __all__ = [
     "fit_candidates",
@@ -17,6 +19,8 @@ __all__ = [
     "generate_candidates",
     "keep_top_k",
     "split_kernel_search",
+    "multi_outcome_kernel_search",
+    "run_search_sweep",
     "softmax_kernel_search",
     "softmax_kernel_selection",
 ]

@@ -149,11 +149,20 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
                              max_iter=max_iter, tol=1e-8, ftol=ftol,
                              patience=10)
             full = dict(p0, **res.params)
-            q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y,
-                                          coded=coded_i)
-            res = res._replace(
-                params=dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
-            )
+            # do NOT return (q_mu, q_sqrt): they are closed-form
+            # functions of the hyperparameters (optimal_q) and dominate
+            # the result pytree — (M, M) per candidate ≈ 64 MB per
+            # 64-wide dispatch hauled over the tunneled backend, thrown
+            # away for every non-winner. Winners re-materialize via
+            # materialize_optimal_q at finalize.
+            if split:
+                q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y,
+                                              coded=coded_i)
+                full_q = dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
+            res = res._replace(params={
+                k: full[k] for k in ("kernel_raw", "mean_c", "lik_raw",
+                                     "z")
+            })
         else:
             def loss(p):
                 return svgp.training_loss(config, p, X, Y, coded=coded_i)
@@ -171,8 +180,10 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
                 loss_guard=needs_loss_guard(config.likelihood.name))
         loglik = -res.loss  # log posterior (no priors → ELBO)
         if split:
+            pred_params = (full_q if config.likelihood.name == "gaussian"
+                           else res.params)
             hold = jnp.sum(
-                svgp.predict_log_density(config, res.params, Xh, Yh,
+                svgp.predict_log_density(config, pred_params, Xh, Yh,
                                          coded=coded_i)
             )
         else:
@@ -350,7 +361,7 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
 
 
 def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
-              data, total, log):
+              data, total, log, mesh=None):
     """Run one flat batch through the bounded-dispatch segment loop.
 
     Between segments, converged fits are COMPACTED out of the batch:
@@ -363,6 +374,12 @@ def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
     vmapped segment advances ALL rows, so stragglers made every fit pay
     the full iteration cap. Disable with WAVEOME_SEG_COMPACT=0."""
     first_fn, next_fn, final_fn = fns
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+
+        coded_b, raw_b, kmask_b, keys_b, y_b, randomize = (
+            meshlib.shard_leading_axis(
+                (coded_b, raw_b, kmask_b, keys_b, y_b, randomize), mesh))
     args = (coded_b, raw_b, kmask_b, keys_b, y_b, randomize)
     bound = min(_SEG_ITERS, total)
     carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
@@ -380,6 +397,9 @@ def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
             break
         n_act = int((~done).sum())
         w = _bucket(n_act, _COMPACT_BUCKETS)
+        if mesh is not None:
+            # compacted widths must still divide over the mesh
+            w = -(-w // int(mesh.size)) * int(mesh.size)
         if _COMPACT and w < len(idx):
             act = idx[~done]
             sel = np.concatenate([act, np.repeat(act[:1], w - act.size)])
@@ -390,6 +410,9 @@ def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
             gsel = jnp.asarray(sel)
             carry = _tree_take(master, gsel)
             cur_args = _tree_take(args, gsel)
+            if mesh is not None:
+                carry = meshlib.shard_leading_axis(carry, mesh)
+                cur_args = meshlib.shard_leading_axis(cur_args, mesh)
             idx = sel
         bound = min(bound + _SEG_ITERS, total)
         carry = next_fn(carry, *cur_args, jnp.asarray(bound), data)
@@ -401,7 +424,7 @@ def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
 
 def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
                               coded, raw0, kmask, keys, data, y_cols_arr,
-                              det_first=False):
+                              det_first=False, mesh=None):
     """Host-side segment loop for non-Gaussian candidate batches.
 
     Restarts are flattened into the batch axis (candidate-major) and the
@@ -443,6 +466,11 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
     log = os.environ.get("WAVEOME_SEG_LOG", "0") == "1"
     flat = int(raw_b.shape[0])
     cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if mesh is not None:
+        # sharded sub-batches must divide over the mesh (caller already
+        # rounded n_pad; the restart flattening preserves divisibility —
+        # flat = n_pad * n_fits — but cap needs its own rounding)
+        cap = -(-cap // int(mesh.size)) * int(mesh.size)
     if flat > cap:
         pad_to = -(-flat // cap) * cap
         if pad_to > flat:
@@ -459,7 +487,7 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
             outs.append(_seg_loop(
                 fns, jax.tree.map(lambda a: a[sl], coded_b), raw_b[sl],
                 kmask_b[sl], keys_b[sl], y_b[sl], randomize[sl], data,
-                total, log))
+                total, log, mesh=mesh))
             if log:
                 print(f"[seg] sub-batch {lo}-{lo + cap}/{pad_to} done",
                       flush=True)
@@ -471,7 +499,7 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
     else:
         params, logliks, holds = _seg_loop(
             fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize, data,
-            total, log)
+            total, log, mesh=mesh)
     if n_fits > 1:
         ll = np.asarray(logliks).reshape(n_pad, n_fits)
         ll = np.where(np.isfinite(ll), ll, -np.inf)
@@ -480,6 +508,35 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         logliks = jnp.asarray(logliks)[best]
         holds = jnp.asarray(holds)[best]
     return params, logliks, holds
+
+
+@lru_cache(maxsize=64)
+def _optimal_q_fn(config):
+    def f(params, X, Y, coded):
+        return svgp.optimal_q(config, params, X, Y, coded=coded)
+
+    return jax.jit(f)
+
+
+def materialize_optimal_q(config, params, X, Y, coded) -> dict:
+    """Recompute a collapsed-bound (Gaussian) candidate's closed-form
+    (q_mu, q_sqrt) from its fitted hyperparameters.
+
+    Gaussian candidate fits return LIGHT params (hyperparameters only):
+    q is optimal in closed form (svgp.optimal_q), so returning the
+    (M, M) buffers per candidate hauled ~64 MB per 64-wide dispatch over
+    the tunneled backend for fits that mostly lose the beam. Winners get
+    their q here — one jitted call per finalized model.
+    """
+    dtype = default_float()
+    p = {k: jnp.asarray(v, dtype=dtype) if k != "z" else jnp.asarray(v)
+         for k, v in params.items()}
+    q_mu, q_sqrt = _optimal_q_fn(config)(
+        p, jnp.asarray(X, dtype=p["z"].dtype),
+        jnp.asarray(np.asarray(Y).reshape(-1, 1), dtype=p["z"].dtype),
+        coded)
+    return dict(params, q_mu=np.asarray(q_mu),
+                q_sqrt_raw=np.asarray(q_sqrt))
 
 
 def num_param_groups(spec: KernelSpec, likelihood, train_inducing: bool
@@ -511,6 +568,7 @@ def fit_candidates(
     pad_shape=None,
     y_cols: Optional[Sequence[int]] = None,
     init_raw: Optional[Sequence[Optional[np.ndarray]]] = None,
+    mesh=None,
 ) -> CandidateFit:
     """Fit every candidate spec; return per-candidate best-restart results.
 
@@ -520,8 +578,19 @@ def fit_candidates(
     Multi-outcome lockstep mode: pass ``Y`` of shape (N, B) plus
     ``y_cols[i]`` = the outcome column candidate i belongs to — candidates
     from EVERY outcome's search fit in one batched program.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` — the candidate batch axis is
+    sharded over its devices and the same vmapped programs run SPMD
+    (candidate fits are independent, so no collectives are emitted; the
+    multi-chip replacement for the reference's 40 Ray search workers,
+    model_search.py:1149-1222). Batch paddings and compaction widths are
+    rounded to device multiples; ``data`` is replicated.
     """
     dtype = default_float()
+    import time as _time
+
+    _prof = os.environ.get("WAVEOME_SEARCH_PROFILE", "0") == "1"
+    _t0 = _time.perf_counter()
     # host copies; device arrays must be jit ARGUMENTS, not closure
     # captures (remote-TPU lowering reads back every captured device array)
     X_np = np.asarray(X, dtype=np.float64)
@@ -536,11 +605,19 @@ def fit_candidates(
     global FIT_COUNT
     FIT_COUNT += n_cand
 
+    n_shards = int(mesh.size) if mesh is not None else 1
+    if n_shards > 1:
+        from ..parallel import mesh as meshlib
+
     # pad the candidate list to a bucketed width (slot-0 duplicates,
     # sliced off the results below) so expansion steps of different sizes
     # share one compiled program
     n_pad = _bucket(n_cand, _WIDTH_BUCKETS)
     cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if n_shards > 1:
+        # the sharded batch axis must divide evenly over devices
+        cap = -(-cap // n_shards) * n_shards
+        n_pad = -(-n_pad // n_shards) * n_shards
     if n_pad > cap:
         # oversized batches dispatch in cap-wide slices (see
         # _fit_candidates_segmented) — align the padding so every slice
@@ -621,6 +698,15 @@ def fit_candidates(
         jnp.asarray(Yh_np, dtype=dtype) if split else jnp.zeros(
             (1, 1), dtype=dtype),
     )
+    if n_shards > 1:
+        data = meshlib.replicate(data, mesh)
+
+        def _shard(tree):
+            return meshlib.shard_leading_axis(tree, mesh)
+    else:
+        def _shard(tree):
+            return tree
+
     if config.likelihood.name == "gaussian":
         fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
                               np.dtype(dtype).name)
@@ -634,27 +720,47 @@ def fit_candidates(
         if n_pad > cap:
             # cap-wide dispatch slices: bounds per-dispatch duration
             # (tunneled-worker killer) and reuses one compiled program
-            outs = [
-                fit_all(jax.tree.map(lambda a: a[lo:lo + cap], coded),
-                        raw0[lo:lo + cap], kmask[lo:lo + cap],
-                        keys[lo:lo + cap], data,
-                        y_cols_arr[lo:lo + cap], rnd)
-                for lo in range(0, n_pad, cap)
-            ]
+            outs = []
+            for lo in range(0, n_pad, cap):
+                c_s, r_s, k_s, key_s, y_s = _shard((
+                    jax.tree.map(lambda a: a[lo:lo + cap], coded),
+                    raw0[lo:lo + cap], kmask[lo:lo + cap],
+                    keys[lo:lo + cap], y_cols_arr[lo:lo + cap]))
+                outs.append(fit_all(c_s, r_s, k_s, key_s, data, y_s,
+                                    rnd))
             params = jax.tree.map(lambda *xs: jnp.concatenate(xs),
                                   *[o[0] for o in outs])
             logliks = jnp.concatenate([o[1] for o in outs])
             holds = jnp.concatenate([o[2] for o in outs])
         else:
+            coded, raw0, kmask, keys, y_cols_arr = _shard(
+                (coded, raw0, kmask, keys, y_cols_arr))
             params, logliks, holds = fit_all(coded, raw0, kmask, keys,
                                              data, y_cols_arr, rnd)
     else:
         params, logliks, holds = _fit_candidates_segmented(
             config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
-            keys, data, y_cols_arr, det_first=init_raw is not None)
+            keys, data, y_cols_arr, det_first=init_raw is not None,
+            mesh=mesh if n_shards > 1 else None)
 
-    # drop bucket-padding duplicates
-    params = jax.tree.map(lambda a: a[:n_cand], params)
+    if _prof:
+        # per-dispatch profile line (WAVEOME_SEARCH_PROFILE=1): where a
+        # search's wall clock goes — padding waste is n_pad/n_cand,
+        # restart multiplier n_fits, program family is (C, F, likelihood)
+        jax.block_until_ready(logliks)
+        _el = _time.perf_counter() - _t0
+        print(f"[search-prof] lik={config.likelihood.name} n_cand={n_cand} "
+              f"n_pad={n_pad} C={C} F={F} restarts={n_fits} "
+              f"split={bool(split)} elapsed={_el:.2f}s "
+              f"fits_per_min={n_cand * n_fits / (_el / 60):.0f}",
+              flush=True)
+
+    # drop bucket-padding duplicates; materialize params on the HOST in
+    # one bulk pytree transfer — callers store per-candidate slices, and
+    # per-candidate np.asarray(leaf[i]) was hundreds of small
+    # device->host round trips (~18 s of a 37 s warm depth-2 search over
+    # the tunneled backend; WAVEOME_SEARCH_PROFILE receipts)
+    params = jax.device_get(jax.tree.map(lambda a: a[:n_cand], params))
     logliks = np.asarray(logliks)[:n_cand]
     holds = np.asarray(holds)[:n_cand]
     specs = specs[:n_cand]

@@ -288,8 +288,12 @@ def full_kernel_search(
     Y_holdout=None,
     split: bool = False,
     warm_start: bool = False,
+    mesh=None,
 ) -> Dict:
-    """The greedy search driver (model_search.py:2987-3272)."""
+    """The greedy search driver (model_search.py:2987-3272).
+
+    ``mesh``: optional 1-D device mesh — candidate batches shard over
+    its devices (engine.fit_candidates)."""
     rng = np.random.default_rng(random_seed)
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64).reshape(-1, 1)
@@ -305,6 +309,7 @@ def full_kernel_search(
         likelihood=lik, num_restart=num_restart, random_seed=random_seed,
         max_iter=max_iter, num_inducing_points=num_inducing_points,
         X_holdout=X_holdout, Y_holdout=Y_holdout, split=split,
+        mesh=mesh,
     )
 
     def fit_and_store(cands, depth, parent_map=None):
@@ -421,6 +426,7 @@ def full_kernel_search(
     best_name = min(
         (v["bic"], v["depth"], k) for k, v in search_dict.items()
     )[2]
+    search_dict[best_name] = _ensure_q(search_dict[best_name], X, Y)
 
     # R² of best model (model_search.py:3255-3260)
     var_percent = _best_model_rsquare(search_dict[best_name], X, Y)
@@ -474,6 +480,24 @@ def _run_prune(search_dict, depth, X, Y, fit_kwargs, verbose,
                 "parent": best_name,
                 "try_next": True,
             }
+
+
+def _ensure_q(entry, X, Y):
+    """Materialize the closed-form (q_mu, q_sqrt) for a collapsed-bound
+    winner (Gaussian candidate fits return hyperparameters only —
+    engine.materialize_optimal_q has the receipts)."""
+    if "q_mu" in entry["params"]:
+        return entry
+    from .engine import materialize_optimal_q
+
+    config = entry["config"]
+    spec = entry["spec"]
+    coded = spec.padded(config.num_components,
+                        config.spec.padded().max_factors).coded()
+    entry = dict(entry)
+    entry["params"] = materialize_optimal_q(config, entry["params"],
+                                            X, Y, coded)
+    return entry
 
 
 def _make_fitted(entry, name):
@@ -624,6 +648,7 @@ def multi_outcome_kernel_search(
     training_percent: float = 0.7,
     unit_idx: Optional[int] = None,
     warm_start: bool = False,
+    mesh=None,
 ) -> Dict[str, Dict]:
     """Lockstep greedy search over MANY outcomes.
 
@@ -669,6 +694,7 @@ def multi_outcome_kernel_search(
         likelihood=lik, num_restart=num_restart, random_seed=random_seed,
         max_iter=max_iter, num_inducing_points=num_inducing_points,
         X_holdout=X_holdout, Y_holdout=Ys_holdout, split=split,
+        mesh=mesh,
     )
 
     states = {
@@ -838,8 +864,8 @@ def multi_outcome_kernel_search(
         best_name = min(
             (v["bic"], v["depth"], k) for k, v in sd.items()
         )[2]
-        entry = sd[best_name]
         yb = Ys[:, [col[o]]]
+        entry = sd[best_name] = _ensure_q(sd[best_name], X, yb)
         out[o] = {
             "models": {best_name: entry},
             "edges": states[o]["edges"],
