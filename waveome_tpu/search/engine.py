@@ -65,8 +65,10 @@ def _bucket(n: int, buckets) -> int:
 # repeat searches hit the persistent cache.
 # coarse width buckets: each bucket is one XLA program per (C, F) shape,
 # and cold compiles (~20-80s each) dominate search wall time on CPU —
-# fewer buckets beats tighter padding
-_WIDTH_BUCKETS = (4, 16, 64, 256)
+# fewer buckets beats tighter padding. 32 earns its compile: depth-1
+# expansions land in the 17-32 range for every few-kernel search (the
+# bench shape pads 28→32 instead of 28→64, saving ~half that dispatch)
+_WIDTH_BUCKETS = (4, 16, 32, 64, 256)
 _C_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24)
 _F_BUCKETS = (2, 3, 4, 6, 8)
 
