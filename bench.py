@@ -156,6 +156,13 @@ def main_gaussian():
         cat_vars=[0, 2], num_vars=[1], unit_idx=0,
         var_names=["id", "time", "female"], return_sum=True,
     )
+    # split the first-call tax into its parts: backend handshake
+    # (the tunneled axon init alone has taken ~3 min after worker
+    # restarts), then compile-or-deserialize + run
+    t0 = time.time()
+    jax.block_until_ready(jax.numpy.zeros(()) + 1.0)
+    handshake_s = time.time() - t0
+
     kwargs = dict(
         spec=spec,
         likelihood="gaussian",
@@ -206,6 +213,7 @@ def main_gaussian():
         "vs_baseline": round(fits_per_min / BASELINE_MODELS_PER_MIN, 1),
         "mfu_pct": round(100 * mfu, 2),
         "first_call_s": round(compile_and_run, 1),
+        "handshake_s": round(handshake_s, 1),
         "mean_iters": round(iters, 1),
     })
 

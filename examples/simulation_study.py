@@ -67,6 +67,10 @@ def main():
                     help="also fit the reference harness's baseline "
                          "model families (mixed LM, LASSO, GAM, GP-ARD "
                          "for gaussian; NB-GLM, NB-GP-ARD for nb)")
+    ap.add_argument("--cell-json", default=None,
+                    help="write this single config's report to the given "
+                         "JSON path (used by --sweep's per-cell "
+                         "subprocesses)")
     ap.add_argument("--sweep", action="store_true",
                     help="run the (rate x units x noise) grid and write "
                          "a results artifact (implies --baselines)")
@@ -76,6 +80,11 @@ def main():
         return run_sweep(args)
     report = (run_count_config(args) if args.likelihood == "nb"
               else run_gaussian_config(args))
+    if args.cell_json:
+        tmp = args.cell_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=2, default=str)
+        os.replace(tmp, args.cell_json)
     print(json.dumps(report, indent=2, default=str))
 
 
@@ -86,8 +95,14 @@ def run_sweep(args):
     with a 14-day limit (sim_waveome_hpc_script.sh); this reduced grid
     (2x2x2 x 4 ground-truth kernels) exercises the same axes in
     minutes-on-a-chip / tens-of-minutes-on-CPU.
+
+    Each cell runs in its OWN subprocess writing a per-cell JSON
+    (SLURM-array style): cells accumulate fresh compiled-program shapes
+    per (units, rate) and a long multi-cell CPU process has twice died
+    in LLVM executable allocation around cell 3 — isolation contains
+    that, and existing cell files make a rerun resume instead of refit.
     """
-    import copy
+    import subprocess
     import time
 
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -97,15 +112,38 @@ def run_sweep(args):
     for rate in grid["rate"]:
         for units in grid["units"]:
             for noise in grid["noise"]:
-                a = copy.copy(args)
-                a.rate, a.units, a.noise = rate, units, noise
-                a.baselines = True
-                run = (run_count_config(a) if args.likelihood == "nb"
-                       else run_gaussian_config(a))
+                cell_f = os.path.join(
+                    OUT_DIR, f"cell_{args.likelihood}_r{rate}_u{units}"
+                             f"_n{noise}.json")
+                if not os.path.exists(cell_f):
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--likelihood", args.likelihood,
+                           "--rate", str(rate), "--units", str(units),
+                           "--noise", str(noise),
+                           "--alpha", str(args.alpha),
+                           "--seed", str(args.seed),
+                           "--max-iter", str(args.max_iter),
+                           "--max-depth", str(args.max_depth),
+                           "--baselines", "--cell-json", cell_f]
+                    if args.skip_search:
+                        cmd.append("--skip-search")
+                    for attempt in (1, 2):
+                        r = subprocess.run(cmd, timeout=7200)
+                        if r.returncode == 0 and os.path.exists(cell_f):
+                            break
+                        print(f"# sweep cell rate={rate} units={units} "
+                              f"noise={noise} attempt {attempt} failed "
+                              f"rc={r.returncode}")
+                if not os.path.exists(cell_f):
+                    continue
+                with open(cell_f) as f:
+                    run = json.load(f)
                 rows.append({"rate": rate, "units": units, "noise": noise,
                              "results": run})
                 print(f"# sweep cell rate={rate} units={units} "
                       f"noise={noise} done ({time.time() - t0:.0f}s)")
+    n_grid = (len(grid["rate"]) * len(grid["units"])
+              * len(grid["noise"]))
     artifact = {
         "likelihood": args.likelihood,
         "alpha": args.alpha if args.likelihood == "nb" else None,
@@ -113,6 +151,8 @@ def run_sweep(args):
         "seed": args.seed,
         "max_iter": args.max_iter,
         "wall_s": round(time.time() - t0, 1),
+        "cells_done": len(rows),
+        "cells_missing": n_grid - len(rows),  # no silent caps
         "cells": rows,
         "summary": summarize_sweep(rows),
     }
