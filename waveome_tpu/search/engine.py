@@ -40,6 +40,9 @@ class CandidateFit(NamedTuple):
     loglik: np.ndarray  # (n_cand,) log posterior (= ELBO, no priors)
     holdout: Optional[np.ndarray]  # (n_cand,) holdout log density sum
     bic: np.ndarray  # (n_cand,)
+    iters: Optional[np.ndarray] = None  # (n_cand,) optimizer iterations
+    # of the winning restart (Gaussian path only; None for segmented
+    # fits) — lockstep-straggler diagnostics for WAVEOME_SEARCH_PROFILE
 
 
 def _stack_coded(specs: Sequence[KernelSpec], C: int, F: int):
@@ -190,14 +193,15 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             )
         else:
             hold = jnp.zeros((), dtype=dtype)
-        return res.params, loglik, hold
+        n_it = jnp.asarray(getattr(res, "num_iters", 0), dtype=jnp.int32)
+        return res.params, loglik, hold, n_it
 
     def per_candidate(coded_i, raw_i, kmask_i, keys_i, data, y_col,
                       rnd_flags):
         if n_fits == 1:
             return one_fit(coded_i, raw_i, kmask_i, keys_i[0],
                            randomize=rnd_flags[0], data=data, y_col=y_col)
-        params, logliks, holds = jax.vmap(
+        params, logliks, holds, n_its = jax.vmap(
             lambda k, r: one_fit(coded_i, raw_i, kmask_i, k, randomize=r,
                                  data=data, y_col=y_col)
         )(keys_i, rnd_flags)
@@ -209,6 +213,7 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             jax.tree.map(lambda a: a[best], params),
             logliks[best],
             holds[best],
+            n_its[best],
         )
 
     return jax.jit(jax.vmap(per_candidate,
@@ -734,27 +739,37 @@ def fit_candidates(
                                   *[o[0] for o in outs])
             logliks = jnp.concatenate([o[1] for o in outs])
             holds = jnp.concatenate([o[2] for o in outs])
+            n_its = jnp.concatenate([o[3] for o in outs])
         else:
             coded, raw0, kmask, keys, y_cols_arr = _shard(
                 (coded, raw0, kmask, keys, y_cols_arr))
-            params, logliks, holds = fit_all(coded, raw0, kmask, keys,
-                                             data, y_cols_arr, rnd)
+            params, logliks, holds, n_its = fit_all(
+                coded, raw0, kmask, keys, data, y_cols_arr, rnd)
     else:
         params, logliks, holds = _fit_candidates_segmented(
             config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
             keys, data, y_cols_arr, det_first=init_raw is not None,
             mesh=mesh if n_shards > 1 else None)
+        n_its = None
 
     if _prof:
         # per-dispatch profile line (WAVEOME_SEARCH_PROFILE=1): where a
         # search's wall clock goes — padding waste is n_pad/n_cand,
-        # restart multiplier n_fits, program family is (C, F, likelihood)
+        # restart multiplier n_fits, program family is (C, F, likelihood),
+        # and the iters spread quantifies lockstep straggling (every row
+        # of a vmapped while_loop pays the max row's iterations)
         jax.block_until_ready(logliks)
         _el = _time.perf_counter() - _t0
+        _istr = ""
+        if n_its is not None:
+            _ia = np.asarray(n_its)[:n_cand]
+            _istr = (f" iters_p50={int(np.percentile(_ia, 50))} "
+                     f"p90={int(np.percentile(_ia, 90))} "
+                     f"max={int(_ia.max())}")
         print(f"[search-prof] lik={config.likelihood.name} n_cand={n_cand} "
               f"n_pad={n_pad} C={C} F={F} restarts={n_fits} "
               f"split={bool(split)} elapsed={_el:.2f}s "
-              f"fits_per_min={n_cand * n_fits / (_el / 60):.0f}",
+              f"fits_per_min={n_cand * n_fits / (_el / 60):.0f}{_istr}",
               flush=True)
 
     # drop bucket-padding duplicates; materialize params on the HOST in
@@ -776,5 +791,8 @@ def fit_candidates(
             k = num_param_groups(s, lik, config.train_inducing)
             bics[i] = round(2.0 * k - 2.0 * float(logliks[i]), 2)
 
-    return CandidateFit(params=params, loglik=logliks,
-                        holdout=holds if split else None, bic=bics), config
+    return CandidateFit(
+        params=params, loglik=logliks, holdout=holds if split else None,
+        bic=bics,
+        iters=np.asarray(n_its)[:n_cand] if n_its is not None else None,
+    ), config
