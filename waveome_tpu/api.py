@@ -442,6 +442,7 @@ class GPSearch:
         verbose: bool = False,
         sweep_options: Optional[dict] = None,
         warm_start: bool = False,
+        mesh=None,
         **_compat,
     ) -> None:
         """Greedy kernel-structure search per outcome
@@ -464,7 +465,11 @@ class GPSearch:
         structure from its parent's fitted optimum (restart 0 runs
         unrandomized; remaining restarts stay random) — a TPU-first
         speedup absent from the reference, whose ``kernel_test`` always
-        fits from fresh inits."""
+        fits from fresh inits.
+
+        ``mesh``: optional 1-D ``jax.sharding.Mesh`` — candidate batches
+        shard over its devices (the multi-chip replacement for the
+        reference's Ray search farm; engine.fit_candidates)."""
         from .search.greedy import multi_outcome_kernel_search
 
         _warn_unknown_kwargs("run_search", _compat)
@@ -500,6 +505,7 @@ class GPSearch:
             random_seed=random_seed,
             verbose=verbose,
             warm_start=warm_start,
+            mesh=mesh,
         )
         if sweep_options is not None:
             from .search.sweep import run_search_sweep
