@@ -504,3 +504,59 @@ def test_lockstep_search_on_mesh():
         assert meshed[o]["best_model_name"] == plain[o]["best_model_name"]
         np.testing.assert_allclose(meshed[o]["var_exp"],
                                    plain[o]["var_exp"], atol=2e-3)
+
+
+def test_gaussian_segmented_matches_oneshot(monkeypatch, no_cache_writes):
+    """The segmented+compacted Gaussian candidate path (default,
+    engine._gauss_seg_loop) must reproduce the one-shot vmapped L-BFGS
+    dispatch (WAVEOME_GAUSS_SEG=0 oracle): same restart draws (identical
+    key splits), plbfgs carry-resume equals one run, and compaction
+    never changes a row's trajectory."""
+    import waveome_tpu.search.engine as eng
+
+    rng = np.random.default_rng(31)
+    n = 36
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    Y = (np.sin(1.5 * X[:, 1]) + 0.2 * rng.normal(size=n))[:, None]
+    specs = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("linear", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),
+                    (Primitive("squared_exponential", 1),))),
+    ]
+    kw = dict(likelihood="gaussian", num_restart=2, max_iter=120,
+              random_seed=7)
+
+    monkeypatch.setenv("WAVEOME_GAUSS_SEG", "0")
+    oneshot, _ = fit_candidates(specs, X, Y, **kw)
+    monkeypatch.setenv("WAVEOME_GAUSS_SEG", "1")
+    # small segments + tight buckets force several compaction rounds
+    monkeypatch.setattr(eng, "_SEG_ITERS", 30)
+    monkeypatch.setattr(eng, "_COMPACT_BUCKETS", (1, 2, 3, 4, 6, 8))
+    seg, _ = fit_candidates(specs, X, Y, **kw)
+
+    np.testing.assert_allclose(seg.bic, oneshot.bic, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(seg.loglik),
+                               np.asarray(oneshot.loglik), rtol=1e-8)
+    np.testing.assert_allclose(seg.params["kernel_raw"],
+                               oneshot.params["kernel_raw"],
+                               rtol=1e-6, atol=1e-8)
+    assert seg.iters is not None and seg.iters.shape == (4,)
+
+    # split mode: holdout scoring with on-device optimal-q materialization
+    hold = np.sort(rng.permutation(n)[: n // 4])
+    kw_split = dict(kw, split=True)
+    monkeypatch.setenv("WAVEOME_GAUSS_SEG", "0")
+    one_s, _ = fit_candidates(specs, X[: n - len(hold)],
+                              Y[: n - len(hold)],
+                              X_holdout=X[hold], Y_holdout=Y[hold],
+                              **kw_split)
+    monkeypatch.setenv("WAVEOME_GAUSS_SEG", "1")
+    seg_s, _ = fit_candidates(specs, X[: n - len(hold)],
+                              Y[: n - len(hold)],
+                              X_holdout=X[hold], Y_holdout=Y[hold],
+                              **kw_split)
+    np.testing.assert_allclose(np.asarray(seg_s.holdout),
+                               np.asarray(one_s.holdout), rtol=1e-6)

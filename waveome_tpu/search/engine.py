@@ -367,6 +367,141 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
     return first_fn, next_fn, final_fn
 
 
+@variant_logged
+@lru_cache(maxsize=128)
+def _cand_lbfgs_fns(config, split: bool, dtype_name: str):
+    """Jitted segment steppers for GAUSSIAN (collapsed-bound) candidate
+    fits — the L-BFGS analogue of ``_cand_adam_fns``. Each segment
+    returns ``(PLBFGSResult, carry)`` (the fit/batch.py run_segments
+    protocol) so the host loop can compact converged fits out between
+    bounded dispatches: a vmapped while_loop advances every row until
+    the LAST row converges, so one straggler made a whole one-shot
+    dispatch pay max_iter for all rows."""
+    dtype = jnp.dtype(dtype_name)
+    ftol = 1e-9 if dtype == jnp.float64 else 1e-6
+
+    def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
+        X, Ymat, tmpl, Xh, Yhmat = data
+        Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
+        mask_opt = {
+            "kernel_raw": kmask_i > 0,
+            "mean_c": jnp.ones((1,), dtype=bool),
+            "lik_raw": jnp.ones_like(tmpl["lik_raw"], dtype=bool),
+        }
+        p0 = {k: v for k, v in tmpl.items()}
+        p0["kernel_raw"] = raw_i
+        # identical key splits to one_fit (_fit_all_fn) so segmented and
+        # one-shot runs start from bit-identical restart draws
+        k1, k2, _k4 = jax.random.split(key, 3)
+        rnd_kraw = jnp.where(
+            mask_opt["kernel_raw"],
+            jax.random.normal(k1, raw_i.shape, dtype=dtype), raw_i)
+        jitter_c = jax.random.normal(k2, (1,), dtype=dtype)
+        p0["kernel_raw"] = jnp.where(randomize, rnd_kraw,
+                                     p0["kernel_raw"])
+        p0["mean_c"] = jnp.where(randomize, jitter_c, p0["mean_c"])
+        p0_opt = {k: p0[k] for k in ("kernel_raw", "mean_c", "lik_raw")}
+
+        def loss(ps):
+            full = dict(p0, **ps)
+            return -svgp.collapsed_elbo(config, full, X, Y,
+                                        coded=coded_i)
+
+        return p0, p0_opt, mask_opt, loss
+
+    def first_seg(coded_i, raw_i, kmask_i, key, y_col, randomize, bound,
+                  data):
+        _, p0_opt, mask_opt, loss = build(coded_i, raw_i, kmask_i, key,
+                                          data, y_col, randomize)
+        return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
+                          tol=1e-8, ftol=ftol, patience=10,
+                          return_carry=True)
+
+    def next_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
+                 bound, data):
+        _, p0_opt, mask_opt, loss = build(coded_i, raw_i, kmask_i, key,
+                                          data, y_col, randomize)
+        return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
+                          tol=1e-8, ftol=ftol, patience=10,
+                          carry=carry, return_carry=True)
+
+    def hold_one(params_opt, coded_i, y_col, data):
+        # split scoring: materialize the closed-form q for THIS
+        # candidate's optimum, then holdout log density
+        X, Ymat, tmpl, Xh, Yhmat = data
+        Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
+        Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
+        full = dict(tmpl, **params_opt)
+        q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y, coded=coded_i)
+        fq = dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
+        return jnp.sum(
+            svgp.predict_log_density(config, fq, Xh, Yh, coded=coded_i))
+
+    first_fn = jax.jit(jax.vmap(
+        first_seg, in_axes=(0, 0, 0, 0, 0, 0, None, None)))
+    next_fn = jax.jit(jax.vmap(
+        next_seg, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)))
+    hold_fn = (jax.jit(jax.vmap(hold_one, in_axes=(0, 0, 0, None)))
+               if split else None)
+    return first_fn, next_fn, hold_fn
+
+
+def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
+                    data, total, log, mesh=None):
+    """Segment loop for Gaussian candidate batches (compaction between
+    bounded L-BFGS dispatches — same protocol as ``_seg_loop``, but the
+    steppers return (result, carry) and convergence comes from
+    ``result.converged``)."""
+    first_fn, next_fn, hold_fn = fns
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+
+        coded_b, raw_b, kmask_b, keys_b, y_b, randomize = (
+            meshlib.shard_leading_axis(
+                (coded_b, raw_b, kmask_b, keys_b, y_b, randomize), mesh))
+    args = (coded_b, raw_b, kmask_b, keys_b, y_b, randomize)
+    bound = min(_SEG_ITERS, total)
+    res, carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b,
+                          randomize, jnp.asarray(bound), data)
+    width = int(raw_b.shape[0])
+    res_full = res
+    idx = np.arange(width)  # master row held by each current batch slot
+    done = np.zeros(width, dtype=bool)
+    cur_args = args
+    while bound < total:
+        done[idx] = np.asarray(res.converged)
+        if log:
+            print(f"[gseg] iters<={bound} done {int(done.sum())}/"
+                  f"{done.size}", flush=True)
+        if done.all():
+            break
+        act = np.nonzero(~done)[0]
+        w = _bucket(act.size, _COMPACT_BUCKETS)
+        if mesh is not None:
+            w = -(-w // int(mesh.size)) * int(mesh.size)
+        if _COMPACT and w < len(idx):
+            sel = np.concatenate([act, np.repeat(act[:1], w - act.size)])
+            # every active master row is in the current batch (done only
+            # grows), so gather from the current slots — no master carry
+            pos = {r: s for s, r in enumerate(idx)}
+            gsel = jnp.asarray([pos[r] for r in sel])
+            carry = _tree_take(carry, gsel)
+            cur_args = _tree_take(cur_args, gsel)
+            if mesh is not None:
+                carry = meshlib.shard_leading_axis(carry, mesh)
+                cur_args = meshlib.shard_leading_axis(cur_args, mesh)
+            idx = sel
+        bound = min(bound + _SEG_ITERS, total)
+        res, carry = next_fn(carry, *cur_args, jnp.asarray(bound), data)
+        res_full = _tree_scatter(res_full, res, jnp.asarray(idx))
+    loglik = -res_full.loss
+    if hold_fn is not None:
+        holds = hold_fn(res_full.params, coded_b, y_b, data)
+    else:
+        holds = jnp.zeros_like(loglik)
+    return res_full.params, loglik, holds, res_full.num_iters
+
+
 def _seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
               data, total, log, mesh=None):
     """Run one flat batch through the bounded-dispatch segment loop.
@@ -445,12 +580,24 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
     enough to kill the tunneled TPU worker (the same per-dispatch-
     duration failure _SEG_ITERS exists for). Capped sub-batches also
     mean every oversized batch reuses ONE compiled cap-wide program
-    instead of lowering a fresh program per flattened width."""
+    instead of lowering a fresh program per flattened width.
+
+    Gaussian batches route through the L-BFGS steppers
+    (``_cand_lbfgs_fns`` / ``_gauss_seg_loop``) with ``total`` =
+    ``max_iter`` (the reference's scipy maxiter semantics); non-Gaussian
+    through Adam+NatGrad with the reference's >=1000-iteration budget."""
     import os
 
-    fns = _cand_adam_fns(config, bool(split), np.dtype(dtype).name)
+    gaussian = config.likelihood.name == "gaussian"
+    if gaussian:
+        fns = _cand_lbfgs_fns(config, bool(split), np.dtype(dtype).name)
+        loop = _gauss_seg_loop
+        total = max_iter
+    else:
+        fns = _cand_adam_fns(config, bool(split), np.dtype(dtype).name)
+        loop = _seg_loop
+        total = max(1000, 2 * max_iter)
     n_pad = raw0.shape[0]
-    total = max(1000, 2 * max_iter)
     if n_fits > 1:
         coded_b = jax.tree.map(
             lambda a: jnp.repeat(a, n_fits, axis=0), coded)
@@ -491,10 +638,11 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         outs = []
         for lo in range(0, pad_to, cap):
             sl = slice(lo, lo + cap)
-            outs.append(_seg_loop(
+            out = loop(
                 fns, jax.tree.map(lambda a: a[sl], coded_b), raw_b[sl],
                 kmask_b[sl], keys_b[sl], y_b[sl], randomize[sl], data,
-                total, log, mesh=mesh))
+                total, log, mesh=mesh)
+            outs.append(out if len(out) == 4 else (*out, None))
             if log:
                 print(f"[seg] sub-batch {lo}-{lo + cap}/{pad_to} done",
                       flush=True)
@@ -503,10 +651,14 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
             *[o[0] for o in outs])
         logliks = jnp.concatenate([o[1] for o in outs])[:flat]
         holds = jnp.concatenate([o[2] for o in outs])[:flat]
+        n_its = (jnp.concatenate([o[3] for o in outs])[:flat]
+                 if outs[0][3] is not None else None)
     else:
-        params, logliks, holds = _seg_loop(
+        out = loop(
             fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize, data,
             total, log, mesh=mesh)
+        params, logliks, holds, n_its = (
+            out if len(out) == 4 else (*out, None))
     if n_fits > 1:
         ll = np.asarray(logliks).reshape(n_pad, n_fits)
         ll = np.where(np.isfinite(ll), ll, -np.inf)
@@ -514,7 +666,9 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         params = jax.tree.map(lambda a: a[best], params)
         logliks = jnp.asarray(logliks)[best]
         holds = jnp.asarray(holds)[best]
-    return params, logliks, holds
+        if n_its is not None:
+            n_its = jnp.asarray(n_its)[best]
+    return params, logliks, holds, n_its
 
 
 @lru_cache(maxsize=64)
@@ -714,7 +868,11 @@ def fit_candidates(
         def _shard(tree):
             return tree
 
-    if config.likelihood.name == "gaussian":
+    gaussian = config.likelihood.name == "gaussian"
+    if gaussian and os.environ.get("WAVEOME_GAUSS_SEG", "1") != "1":
+        # one-shot vmapped path (WAVEOME_GAUSS_SEG=0): the whole
+        # max_iter L-BFGS in a single dispatch — kept as the
+        # equivalence oracle for the segmented default
         fit_all = _fit_all_fn(config, bool(split), n_fits, max_iter,
                               np.dtype(dtype).name)
         # restart-randomization flags (traced data, shared across the
@@ -746,11 +904,15 @@ def fit_candidates(
             params, logliks, holds, n_its = fit_all(
                 coded, raw0, kmask, keys, data, y_cols_arr, rnd)
     else:
-        params, logliks, holds = _fit_candidates_segmented(
+        params, logliks, holds, n_its = _fit_candidates_segmented(
             config, split, n_fits, max_iter, dtype, coded, raw0, kmask,
             keys, data, y_cols_arr, det_first=init_raw is not None,
             mesh=mesh if n_shards > 1 else None)
-        n_its = None
+        if gaussian:
+            # segmented Gaussian results carry only the optimized
+            # hyperparameters; z is shared (untrained inducing inputs)
+            params = dict(params, z=jnp.broadcast_to(
+                data[2]["z"], (n_pad,) + data[2]["z"].shape))
 
     if _prof:
         # per-dispatch profile line (WAVEOME_SEARCH_PROFILE=1): where a
