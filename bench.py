@@ -279,12 +279,12 @@ def main_search():
     from waveome_tpu.search import engine
     from waveome_tpu.search.greedy import multi_outcome_kernel_search
 
-    # modest defaults: the coded-dispatch search programs (lax.switch per
-    # factor inside the vmapped L-BFGS while_loop) compile minutes-each
-    # on the experimental axon backend, and width buckets grow with
-    # outcomes x depth — 4 outcomes at depth 2 keeps every expansion in
-    # the 64-wide bucket
-    n_outcomes = int(os.environ.get("BENCH_SEARCH_OUTCOMES", "4"))
+    # 16 outcomes ≈ the production shape (the iHMP sweep searches
+    # 32-outcome chunks): depth-1/2 expansions land at widths 128/256,
+    # where fixed dispatch overheads amortize — at 4 outcomes (rounds
+    # 1-3) the 32/64-wide dispatches were overhead-bound and understated
+    # the machine's search throughput by ~2x
+    n_outcomes = int(os.environ.get("BENCH_SEARCH_OUTCOMES", "16"))
     max_depth = int(os.environ.get("BENCH_SEARCH_DEPTH", "2"))
     num_restart = int(os.environ.get("BENCH_SEARCH_RESTARTS", "1"))
     X, Ys = simulate(n_outcomes=max(n_outcomes, 8))

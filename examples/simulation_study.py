@@ -172,13 +172,15 @@ def summarize_sweep(rows):
             for fam, met in entry.items():
                 if not isinstance(met, dict):
                     continue
-                a = agg.setdefault(fam, {"kl": [], "mse": [], "rec": []})
+                a = agg.setdefault(fam, {"kl": [], "mse": [],
+                                         "rec": [], "prec": []})
                 if met.get("kl_to_truth") is not None:
                     a["kl"].append(float(met["kl_to_truth"]))
                 if met.get("holdout_mse") is not None:
                     a["mse"].append(float(met["holdout_mse"]))
                 if isinstance(met.get("recovery"), dict):
                     a["rec"].append(float(met["recovery"]["recall"]))
+                    a["prec"].append(float(met["recovery"]["precision"]))
     out = {}
     for fam, a in agg.items():
         out[fam] = {
@@ -188,6 +190,10 @@ def summarize_sweep(rows):
                                  if a["mse"] else None),
             "mean_recall": (round(float(np.mean(a["rec"])), 4)
                             if a["rec"] else None),
+            # recall alone flatters over-selectors (an ARD that keeps
+            # every feature scores recall 1.0) — report precision too
+            "mean_precision": (round(float(np.mean(a["prec"])), 4)
+                               if a["prec"] else None),
             "n_fits": max(len(a["kl"]), len(a["mse"])),
         }
     return out

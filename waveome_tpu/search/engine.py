@@ -479,7 +479,14 @@ def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
         w = _bucket(act.size, _COMPACT_BUCKETS)
         if mesh is not None:
             w = -(-w // int(mesh.size)) * int(mesh.size)
-        if _COMPACT and w < len(idx):
+        # compaction pays only when the remaining-iteration window is
+        # long: a narrower batch is one more compiled program per (C, F)
+        # family, and Gaussian candidate fits converge in 20-45 L-BFGS
+        # iterations (chip receipts in docs/BENCHMARKS.md) — at
+        # max_iter=200 with 100-iter segments there is at most ONE
+        # segment left to save, which can never repay a fresh compile
+        if (_COMPACT and w < len(idx)
+                and total - bound > 2 * _SEG_ITERS):
             sel = np.concatenate([act, np.repeat(act[:1], w - act.size)])
             # every active master row is in the current batch (done only
             # grows), so gather from the current slots — no master carry
