@@ -71,7 +71,7 @@ def _bucket(n: int, buckets) -> int:
 # fewer buckets beats tighter padding. 32 earns its compile: depth-1
 # expansions land in the 17-32 range for every few-kernel search (the
 # bench shape pads 28→32 instead of 28→64, saving ~half that dispatch)
-_WIDTH_BUCKETS = (4, 16, 32, 64, 256)
+_WIDTH_BUCKETS = (4, 16, 32, 64, 128, 256)
 _C_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 20, 24)
 _F_BUCKETS = (2, 3, 4, 6, 8)
 
@@ -369,7 +369,8 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
 
 @variant_logged
 @lru_cache(maxsize=128)
-def _cand_lbfgs_fns(config, split: bool, dtype_name: str):
+def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
+                    seq_trials: bool = False):
     """Jitted segment steppers for GAUSSIAN (collapsed-bound) candidate
     fits — the L-BFGS analogue of ``_cand_adam_fns``. Each segment
     returns ``(PLBFGSResult, carry)`` (the fit/batch.py run_segments
@@ -415,6 +416,7 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str):
                                           data, y_col, randomize)
         return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
                           tol=1e-8, ftol=ftol, patience=10,
+                          trial_sequential=seq_trials,
                           return_carry=True)
 
     def next_seg(carry, coded_i, raw_i, kmask_i, key, y_col, randomize,
@@ -423,6 +425,7 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str):
                                           data, y_col, randomize)
         return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
                           tol=1e-8, ftol=ftol, patience=10,
+                          trial_sequential=seq_trials,
                           carry=carry, return_carry=True)
 
     def hold_one(params_opt, coded_i, y_col, data):
@@ -596,14 +599,6 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
     import os
 
     gaussian = config.likelihood.name == "gaussian"
-    if gaussian:
-        fns = _cand_lbfgs_fns(config, bool(split), np.dtype(dtype).name)
-        loop = _gauss_seg_loop
-        total = max_iter
-    else:
-        fns = _cand_adam_fns(config, bool(split), np.dtype(dtype).name)
-        loop = _seg_loop
-        total = max(1000, 2 * max_iter)
     n_pad = raw0.shape[0]
     if n_fits > 1:
         coded_b = jax.tree.map(
@@ -627,6 +622,26 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
     log = os.environ.get("WAVEOME_SEG_LOG", "0") == "1"
     flat = int(raw_b.shape[0])
     cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if gaussian:
+        # the collapsed-bound loss holds (width, N, N)-scale live
+        # buffers per line-search trial — a 256-wide f32 batch at N=500
+        # OOMs a v5e's HBM (chip receipt, round 4). Cap the gaussian
+        # sub-batch lower, and serialize the 4 line-search trials
+        # beyond the proven 64-wide footprint (same trade as the
+        # penalized driver's large-N guard: identical FLOPs/values,
+        # the batch axis already fills the chip)
+        cap = min(cap, int(os.environ.get("WAVEOME_GAUSS_SEG_WIDTH",
+                                          "128")))
+        n_rows = int(data[0].shape[0])
+        seq_trials = cap * n_rows ** 2 > 64 * 500 * 500
+        fns = _cand_lbfgs_fns(config, bool(split), np.dtype(dtype).name,
+                              seq_trials)
+        loop = _gauss_seg_loop
+        total = max_iter
+    else:
+        fns = _cand_adam_fns(config, bool(split), np.dtype(dtype).name)
+        loop = _seg_loop
+        total = max(1000, 2 * max_iter)
     if mesh is not None:
         # sharded sub-batches must divide over the mesh (caller already
         # rounded n_pad; the restart flattening preserves divisibility —
