@@ -272,16 +272,21 @@ def run_gaussian_config(args):
             sres = full_kernel_search(
                 X, Y, kern_list=["squared_exponential", "matern12",
                                  "linear"],
-                cat_vars=[0, 1], max_depth=3, num_restart=1,
+                cat_vars=[0, 1], max_depth=args.max_depth, num_restart=1,
                 max_iter=args.max_iter, random_seed=args.seed,
             )
             best = sres["best_model_name"]
+            mu_s, var_s = sres["best_model"].predict_y(hold)
             entry["search"] = {
                 "kernel": best,
                 "recovery": datasets.feature_recovery_score(
                     true_feats, best
                 ),
                 "var_exp": sres["var_exp"],
+                "holdout_mse": datasets.holdout_mse(
+                    mu_t, np.asarray(mu_s)),
+                "kl_to_truth": datasets.gaussian_kl(
+                    mu_t, var_t, np.asarray(mu_s), np.asarray(var_s)),
             }
 
         # (c) baseline model families (reference head-to-head:
