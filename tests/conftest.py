@@ -14,6 +14,21 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     )
 
+# Compile-heavy suites on this image have SIGSEGV'd late in the run inside
+# libgcc's unwinder (dmesg: `error 4 in libgcc_s.so.1`) — a C++ exception
+# unwinding through JIT EH frames after an allocation failure. The kernel's
+# default vm.max_map_count (65530) is a plausible trigger: hundreds of
+# jitted executables + glibc arenas approach it in a 16-minute suite. Root
+# containers may raise it; ignore failures (non-root CI just keeps the
+# default).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 # This image registers an experimental TPU-tunnel PJRT plugin ("axon") into

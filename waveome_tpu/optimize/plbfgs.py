@@ -54,7 +54,22 @@ class PLBFGSResult(NamedTuple):
 # the bench workload, 4 trials beats 6 (1012 vs 843 fits/min) at equal
 # final losses (slightly better, total 35205.7 vs 35227.4) — the extra
 # iterations (p50 41 vs 33) cost less than the wider grid.
-_TRIALS = np.asarray([2.0, 1.0, 0.4, 0.08], dtype=np.float64)
+# WAVEOME_LS_TRIALS overrides the grid size for A/B runs (3 keeps the
+# [2.0, 1.0, 0.4] prefix; 2 keeps [2.0, 1.0]); per-iteration cost is
+# (trials + ~2 grad) forward-equivalents, so 4->3 shaves ~17% FLOPs if
+# the iteration count holds. NOTE: changing it changes every compiled
+# program shape (the grid is baked into the trace) — recompiles.
+_TRIALS_FULL = np.asarray([2.0, 1.0, 0.4, 0.08], dtype=np.float64)
+
+
+def _trial_grid():
+    import os
+
+    n = int(os.environ.get("WAVEOME_LS_TRIALS", "4"))
+    return _TRIALS_FULL[: max(2, min(n, len(_TRIALS_FULL)))]
+
+
+_TRIALS = _trial_grid()
 
 
 def _two_loop(g, s_hist, y_hist, rho, n_pairs, count):
