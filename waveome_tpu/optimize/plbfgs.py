@@ -59,6 +59,10 @@ class PLBFGSResult(NamedTuple):
 # (trials + ~2 grad) forward-equivalents, so 4->3 shaves ~17% FLOPs if
 # the iteration count holds. NOTE: changing it changes every compiled
 # program shape (the grid is baked into the trace) — recompiles.
+# Measured (round 4, chip, search bench @ 16 outcomes depth 2): 3 trials
+# LOSES cold — 150 vs 262 fits/min (dropping the 0.08 step makes fits
+# from randomized inits shrink the stepsize over extra iterations) and
+# only ties warm-started (276 vs 269). The 4-trial default stands.
 _TRIALS_FULL = np.asarray([2.0, 1.0, 0.4, 0.08], dtype=np.float64)
 
 
