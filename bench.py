@@ -419,7 +419,14 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.2 (not the 1.0 default-ish): through the axon tunnel EVERY
+    # compile — even jit(convert_element_type) — costs ~0.4-0.5 s of
+    # round trip, and a first fit_outcomes_penalized call triggers ~106
+    # unique tiny-op compiles ≈ 48 s of its ~92 s wall (measured via
+    # jax_log_compiles, round 4). Below 1.0 s they were never cached;
+    # at 0.2 they are, so later processes cache-hit them. On CPU these
+    # ops compile in ~10 ms and still skip the cache.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     import waveome_tpu
     from waveome_tpu.runtime import install_cache_write_lock

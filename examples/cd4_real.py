@@ -69,7 +69,9 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(HERE), ".jax_cache"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.2: tunnel compiles cost ~0.4-0.5 s each, even for tiny ops;
+    # caching them saves ~48 s of first-call tax (bench.py:422)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     import matplotlib
     matplotlib.use("Agg")

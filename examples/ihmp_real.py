@@ -137,7 +137,9 @@ def main():
         "IHMP_CACHE_DIR",
         os.path.join(os.path.dirname(HERE), ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.2: tunnel compiles cost ~0.4-0.5 s each, even for tiny ops;
+    # caching them saves ~48 s of first-call tax (bench.py:422)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     from waveome_tpu import GPSearch
     from waveome_tpu.runtime import install_cache_write_lock
