@@ -395,6 +395,53 @@ def test_capped_dispatch_slices_match_uncapped(monkeypatch,
                                    rtol=1e-10, err_msg=lik)
 
 
+def test_slice_widths_rebucket_final_slice():
+    """Oversized batches dispatch as cap-wide slices + one final
+    re-bucketed smaller slice (engine._slice_widths): the trailing
+    remainder must not pad to a full cap (a 179-candidate expansion's
+    trailing 128-slice was 60% padding), and every width must stay in
+    the compiled-program set."""
+    from waveome_tpu.search.engine import _slice_widths
+
+    assert _slice_widths(179, 128) == [128, 64]
+    assert _slice_widths(256, 128) == [128, 128]
+    assert _slice_widths(129, 128) == [128, 4]
+    assert _slice_widths(20, 16) == [16, 4]
+    assert _slice_widths(384, 128) == [128, 128, 128]
+    assert _slice_widths(5, 2) == [2, 2, 2]  # cap below every bucket
+    # mesh: the final width rounds up to a device multiple
+    assert _slice_widths(130, 128, mesh_size=8) == [128, 8]
+
+
+def test_rebucketed_final_slice_matches_uncapped(monkeypatch,
+                                                 no_cache_writes):
+    """18 candidates at cap 16 dispatch as [16, 4]; fits must equal the
+    uncapped single-dispatch results exactly (independent rows)."""
+    rng = np.random.default_rng(7)
+    n = 48
+    X = np.column_stack([rng.integers(0, 4, n).astype(float),
+                         np.linspace(-2, 2, n)])
+    Y = (np.sin(2 * X[:, 1]) + 0.1 * rng.normal(size=n))[:, None]
+    base = [
+        KernelSpec(((Primitive("squared_exponential", 1),),)),
+        KernelSpec(((Primitive("categorical", 0),),)),
+        KernelSpec(((Primitive("linear", 1),),)),
+        KernelSpec(((Primitive("squared_exponential", 1),
+                     Primitive("linear", 1, train_variance=False)),)),
+        KernelSpec(((Primitive("categorical", 0),),
+                    (Primitive("linear", 1),))),
+        KernelSpec(((Primitive("periodic", 1),),)),
+    ]
+    specs = (base * 3)[:18]
+    fits_full, _ = fit_candidates(specs, X, Y, likelihood="gaussian",
+                                  num_restart=1, max_iter=100)
+    monkeypatch.setenv("WAVEOME_SEG_WIDTH", "16")
+    fits_cap, _ = fit_candidates(specs, X, Y, likelihood="gaussian",
+                                 num_restart=1, max_iter=100)
+    monkeypatch.delenv("WAVEOME_SEG_WIDTH")
+    np.testing.assert_allclose(fits_cap.bic, fits_full.bic, rtol=1e-10)
+
+
 def test_segment_compaction_matches_uncompacted(monkeypatch,
                                                 no_cache_writes):
     """Between-segment compaction of converged fits (engine._seg_loop)

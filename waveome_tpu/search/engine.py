@@ -59,6 +59,29 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1] + ((n - buckets[-1] + step - 1) // step) * step
 
 
+def _slice_widths(flat: int, cap: int, mesh_size: int = 1):
+    """Sub-batch widths for an oversized candidate batch: cap-wide slices
+    plus ONE final smaller bucketed slice. The trailing remainder
+    re-buckets down (e.g. flat=179, cap=128 → [128, 64]) instead of
+    padding to a full cap multiple — the trailing slice of a
+    179-candidate expansion was 60% padding (search-prof receipt,
+    round 4). Every width stays in the compiled-program set
+    ({cap} ∪ buckets ≤ cap), so the program family grows by at most one
+    smaller width."""
+    buckets_le = tuple(b for b in _WIDTH_BUCKETS if b <= cap) or (cap,)
+    widths = []
+    rem = flat
+    while rem > cap:
+        widths.append(cap)
+        rem -= cap
+    if rem:
+        w = min(_bucket(rem, buckets_le), cap)
+        if mesh_size > 1:
+            w = -(-w // mesh_size) * mesh_size
+        widths.append(w)
+    return widths
+
+
 # Width/shape buckets: every distinct (n_cand, C, F) combination is its own
 # XLA program, and a greedy search sweeps dozens of candidate counts and a
 # new component count per depth — unbucketed, that's a compile per
@@ -648,7 +671,9 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         # flat = n_pad * n_fits — but cap needs its own rounding)
         cap = -(-cap // int(mesh.size)) * int(mesh.size)
     if flat > cap:
-        pad_to = -(-flat // cap) * cap
+        widths = _slice_widths(
+            flat, cap, int(mesh.size) if mesh is not None else 1)
+        pad_to = sum(widths)
         if pad_to > flat:
             gidx = jnp.asarray(np.concatenate([
                 np.arange(flat), np.zeros(pad_to - flat, np.int64)]))
@@ -658,16 +683,18 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
                 keys_b)
             y_b, randomize = take(y_b), take(randomize)
         outs = []
-        for lo in range(0, pad_to, cap):
-            sl = slice(lo, lo + cap)
+        lo = 0
+        for w in widths:
+            sl = slice(lo, lo + w)
             out = loop(
                 fns, jax.tree.map(lambda a: a[sl], coded_b), raw_b[sl],
                 kmask_b[sl], keys_b[sl], y_b[sl], randomize[sl], data,
                 total, log, mesh=mesh)
             outs.append(out if len(out) == 4 else (*out, None))
             if log:
-                print(f"[seg] sub-batch {lo}-{lo + cap}/{pad_to} done",
+                print(f"[seg] sub-batch {lo}-{lo + w}/{pad_to} done",
                       flush=True)
+            lo += w
         params = jax.tree.map(
             lambda *xs: jnp.concatenate(xs)[:flat],
             *[o[0] for o in outs])
@@ -802,10 +829,12 @@ def fit_candidates(
         cap = -(-cap // n_shards) * n_shards
         n_pad = -(-n_pad // n_shards) * n_shards
     if n_pad > cap:
-        # oversized batches dispatch in cap-wide slices (see
-        # _fit_candidates_segmented) — align the padding so every slice
-        # is exactly the one compiled cap-wide program
-        n_pad = -(-n_cand // cap) * cap
+        # oversized batches dispatch in cap-wide slices plus ONE final
+        # smaller bucketed slice (_slice_widths) — pad only to that, not
+        # to a full cap multiple: a 179-candidate depth expansion
+        # dispatches as 128+64 instead of 2x128, whose trailing slice
+        # was 60% padding (search-prof receipt, round 4)
+        n_pad = sum(_slice_widths(n_cand, cap, n_shards))
     specs = list(specs) + [specs[0]] * (n_pad - n_cand)
     y_cols = list(y_cols) + [y_cols[0]] * (n_pad - n_cand)
     y_cols_arr = jnp.asarray(np.asarray(y_cols, dtype=np.int32))
