@@ -1,6 +1,7 @@
 """Collapsed (Titsias) bound tests: identity with explicit-q ELBO at the
 optimal q, and pipeline equivalence of the Gaussian fast path."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,43 @@ def test_collapsed_equals_elbo_at_optimal_q():
     # any other q is worse (it's the max)
     params_bad = dict(params, q_mu=q_mu + 0.1)
     assert float(svgp.elbo(config, params_bad, X, Y)) < bound
+
+
+def test_exact_mll_equals_collapsed_at_full_inducing():
+    """At Z == X frozen (M == N) the Titsias bound is tight, so
+    svgp.exact_mll must equal svgp.collapsed_elbo up to jitter-level
+    terms — the invariant behind the search engine's Gaussian objective
+    switch (search/engine.py: one gram + one Cholesky per evaluation
+    instead of two of each plus two M^2 N solves)."""
+    X, Y = _data(36)
+    spec = KernelSpec((
+        (Primitive("categorical", 0),),
+        (Primitive("squared_exponential", 1),),
+    ))
+    config = svgp.make_config(spec, "gaussian", num_data=X.shape[0],
+                              input_dim=2,
+                              num_inducing_points=X.shape[0])
+    params = svgp.init_params(config, X)
+    exact = float(svgp.exact_mll(config, params, X, Y))
+    bound = float(svgp.collapsed_elbo(config, params, X, Y))
+    np.testing.assert_allclose(exact, bound, rtol=1e-6)
+
+    # coded-dispatch path (what search candidates evaluate)
+    from waveome_tpu.kernels import ops as _ops
+    from waveome_tpu.search.engine import _stack_coded
+
+    codes = sorted({p.code for comp in spec.components for p in comp}
+                   | {_ops.EMPTY})
+    config_c = svgp.make_config(
+        spec, "gaussian", num_data=X.shape[0], input_dim=2,
+        num_inducing_points=X.shape[0], coded_structure=True,
+        coded_ops=tuple(codes))
+    coded = jax.tree.map(lambda a: a[0], _stack_coded([spec], 2, 2))
+    exact_c = float(svgp.exact_mll(config_c, params, X, Y, coded=coded))
+    bound_c = float(svgp.collapsed_elbo(config_c, params, X, Y,
+                                        coded=coded))
+    np.testing.assert_allclose(exact_c, exact, rtol=1e-8)
+    np.testing.assert_allclose(exact_c, bound_c, rtol=1e-6)
 
 
 def test_collapsed_with_sparse_inducing():

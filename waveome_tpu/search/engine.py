@@ -167,11 +167,20 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             keys_opt = ("kernel_raw", "mean_c", "lik_raw")
             p0_opt = {k: p0[k] for k in keys_opt}
             mask_opt = {k: mask[k] for k in keys_opt}
+            # Z == X frozen (M == N, the N<=num_inducing_points case —
+            # every bench/real-data search shape): the Titsias bound is
+            # tight and svgp.exact_mll computes the same value with ONE
+            # gram + ONE Cholesky instead of two grams (Kuu == Kuf
+            # recomputed), two Choleskys, and two M^2 N GEMM/solves —
+            # the same fast path fit/batch.py:522 already takes. Falls
+            # back to the collapsed bound for genuinely sparse M < N.
+            obj = (svgp.exact_mll
+                   if config.num_inducing >= X.shape[0]
+                   else svgp.collapsed_elbo)
 
             def loss(ps):
                 full = dict(p0, **ps)
-                return -svgp.collapsed_elbo(config, full, X, Y,
-                                            coded=coded_i)
+                return -obj(config, full, X, Y, coded=coded_i)
 
             res = plbfgs_fit(loss, p0_opt, mask=mask_opt,
                              max_iter=max_iter, tol=1e-8, ftol=ftol,
@@ -426,10 +435,14 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
         p0["mean_c"] = jnp.where(randomize, jitter_c, p0["mean_c"])
         p0_opt = {k: p0[k] for k in ("kernel_raw", "mean_c", "lik_raw")}
 
+        # same objective switch as _fit_all_fn: exact MLL when Z == X
+        # frozen (M == N) — one gram + one Cholesky per evaluation
+        obj = (svgp.exact_mll if config.num_inducing >= X.shape[0]
+               else svgp.collapsed_elbo)
+
         def loss(ps):
             full = dict(p0, **ps)
-            return -svgp.collapsed_elbo(config, full, X, Y,
-                                        coded=coded_i)
+            return -obj(config, full, X, Y, coded=coded_i)
 
         return p0, p0_opt, mask_opt, loss
 
