@@ -239,8 +239,16 @@ def run_gaussian_config(args):
         config = svgp.make_config(spec_sat, "gaussian", num_data=n,
                                   input_dim=3)
         params0 = svgp.init_params(config, jnp.asarray(X))
+        # penalization_factor=1.0: the reference harness calls
+        # GPSearch.penalized_optimization with its DEFAULT fixed factor
+        # (model_search.py:209 `penalization_factor=1.0`); the auto
+        # 2·1.1·σ̂·√N·Φ⁻¹ formula only fires when None is passed
+        # explicitly. penalized_fit's low-level default is None (auto),
+        # which over-penalized ~70x here and pruned everything (round-4
+        # count recall 0.16).
         res = penalized_fit(config, params0, jnp.asarray(X),
-                            jnp.asarray(Y), num_factor_iter=0,
+                            jnp.asarray(Y), penalization_factor=1.0,
+                            num_factor_iter=0,
                             max_iter=args.max_iter)
         mask = np.asarray(res.component_mask)
         kept = [names[i] for i in range(len(names)) if mask[i] > 0]
@@ -365,8 +373,11 @@ def run_count_config(args):
         # GLM-style mean init for the exp link (fit/batch.py:178)
         params0["mean_c"] = jnp.log(jnp.maximum(
             jnp.asarray(Y).mean(), 1e-6))[None]
+        # fixed factor 1.0 = the reference harness default (see the
+        # Gaussian path note above; model_search.py:209)
         res = penalized_fit(config, params0, jnp.asarray(X),
-                            jnp.asarray(Y), num_factor_iter=0,
+                            jnp.asarray(Y), penalization_factor=1.0,
+                            num_factor_iter=0,
                             max_iter=args.max_iter,
                             compute_importances=False)
         mask = np.asarray(res.component_mask)

@@ -121,3 +121,42 @@ def test_fit_lmc_cells_matches_single_fit():
         np.asarray(params_cells["W"][0]), np.asarray(params_single["W"]),
         atol=1e-5,
     )
+
+
+def test_fit_lmc_cells_mesh_matches_single_device():
+    """(λ × fold) LMC cells sharded over the 8-device CPU mesh (the
+    multi-chip replacement for the reference's Ray cell farm,
+    model_search.py:707-761) reproduce the unsharded results — including
+    a cell count that does NOT divide the mesh (pad-and-slice leg)."""
+    import jax
+
+    from waveome_tpu.models import lmc
+    from waveome_tpu.parallel.mesh import outcome_mesh
+
+    rng = np.random.default_rng(5)
+    t = np.linspace(-2, 2, 24)
+    X = t[:, None]
+    Y = np.column_stack([
+        np.sin(t) + 0.1 * rng.normal(size=24),
+        np.cos(t) + 0.1 * rng.normal(size=24),
+    ])
+    config, _ = lmc.make_lmc_config(
+        X, Y, likelihood="gaussian", num_vars=[0],
+        num_inducing_points=12, kernel_options={"ranks": 1},
+    )
+    p0 = lmc.init_lmc_params(config, X, seed=0)
+    K = 3  # deliberately not a multiple of 8 devices
+    lams = np.array([0.5, 1.0, 5.0])
+    w_rows = (rng.random((K, 24)) > 0.25).astype(np.float64)
+
+    _, losses_plain = lmc.fit_lmc_cells(
+        config, p0, X, Y, lams=lams, weight_rows=w_rows, num_opt_iter=40,
+    )
+    mesh = outcome_mesh(jax.devices()[:8])
+    _, losses_mesh = lmc.fit_lmc_cells(
+        config, p0, X, Y, lams=lams, weight_rows=w_rows, num_opt_iter=40,
+        mesh=mesh,
+    )
+    assert losses_mesh.shape == (K,)
+    np.testing.assert_allclose(np.asarray(losses_mesh),
+                               np.asarray(losses_plain), rtol=1e-5)

@@ -534,13 +534,21 @@ def fit_lmc_cells(
     nat_gradient_gamma: float = 0.1,
     constraint_weight: float = 1.0,
     patience: int = 500,
+    mesh=None,
 ):
     """Fit all (λ × fold) CV cells as ONE vmapped program.
 
     ``lams``: (K,) penalization factors; ``weight_rows``: (K, N) 0/1 train
     weights. Replaces the reference's Ray task per cell
     (model_search.py:707-761). Returns (stacked params pytree with leading
-    K axis, (K,) best data losses)."""
+    K axis, (K,) best data losses).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the cell axis is padded to
+    a device multiple and sharded over it (each device runs its slice of
+    cells; data/initial params are replicated; no collectives — cells are
+    independent, exactly like the reference's Ray tasks)."""
+    from ..parallel import mesh as meshlib
+
     dtype = params0["W"].dtype
     X_np = np.asarray(X, dtype=np.float64)
     Y_np = np.asarray(Y, dtype=np.float64)
@@ -552,14 +560,36 @@ def fit_lmc_cells(
         patience,
     )
     init = _lmc_init_carry(config, params0, adam_learning_rate)
-    params_k, losses_k = run(
-        jnp.asarray(np.asarray(lams), dtype=dtype),
-        jnp.asarray(np.asarray(weight_rows), dtype=dtype),
+
+    lams_np = np.asarray(lams, dtype=np.float64)
+    w_np = np.asarray(weight_rows, dtype=np.float64)
+    K = lams_np.shape[0]
+    n_dev = len(mesh.devices.reshape(-1)) if mesh is not None else 1
+    K_pad = meshlib.pad_batch(K, n_dev)
+    if K_pad != K:
+        # padding cells: λ of cell 0 with all-ones weights (a full-data
+        # fit — always finite); results are sliced away below
+        lams_np = np.concatenate(
+            [lams_np, np.full(K_pad - K, lams_np[0])])
+        w_np = np.concatenate(
+            [w_np, np.ones((K_pad - K, w_np.shape[1]))], axis=0)
+
+    lams_dev = jnp.asarray(lams_np, dtype=dtype)
+    w_dev = jnp.asarray(w_np, dtype=dtype)
+    rest = (
         init,
         jnp.asarray(X_np, dtype=dtype),
         jnp.asarray(Y_np, dtype=dtype),
         jax.tree.map(jnp.asarray, coded_np),
     )
+    if mesh is not None:
+        lams_dev = meshlib.shard_leading_axis(lams_dev, mesh)
+        w_dev = meshlib.shard_leading_axis(w_dev, mesh)
+        rest = meshlib.replicate(rest, mesh)
+    params_k, losses_k = run(lams_dev, w_dev, *rest)
+    if K_pad != K:
+        params_k = jax.tree.map(lambda a: a[:K], params_k)
+        losses_k = losses_k[:K]
     return params_k, losses_k
 
 

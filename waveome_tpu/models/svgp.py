@@ -60,6 +60,10 @@ class SVGPConfig:
     mean_function: str = "constant"  # "constant" | "zero"
     coded_structure: bool = False  # runtime op-code dispatch (search batching)
     coded_ops: tuple = ()  # static op-code table restricting coded dispatch
+    # static identity of the fused banked gram (kernels/fused.py) — when
+    # set AND a caller passes `banks=`, coded grams route through the
+    # GEMM-banked path instead of the per-factor switch dispatch
+    fused_layout: Optional["FusedLayout"] = None  # noqa: F821
 
     @property
     def num_components(self) -> int:
@@ -75,6 +79,7 @@ def make_config(
     train_inducing: bool = True,
     coded_structure: bool = False,
     coded_ops: tuple = (),
+    fused_layout=None,
 ) -> SVGPConfig:
     """Inducing-point sizing rules of SparseGP (model_classes.py:724-737):
     if M ≥ N use all data and freeze."""
@@ -94,6 +99,7 @@ def make_config(
         train_inducing=train_inducing,
         coded_structure=coded_structure,
         coded_ops=tuple(coded_ops),
+        fused_layout=fused_layout,
     )
 
 
@@ -177,7 +183,15 @@ def num_trainable_params(config: SVGPConfig, params) -> int:
 
 
 def _K(config, params, X1, X2=None, component_mask=None, coded=None,
-       factor_mask=None):
+       factor_mask=None, banks=None):
+    if banks is not None and config.fused_layout is not None:
+        # fused banked gram — caller contract: X1 and X2 are both the
+        # banked design matrix (kernels/fused.py)
+        from ..kernels.fused import gram_coded_fused
+
+        return gram_coded_fused(config.fused_layout, coded,
+                                params["kernel_raw"], banks,
+                                component_mask)
     if config.coded_structure:
         return gram_coded(coded, params["kernel_raw"], X1, X2,
                           component_mask,
@@ -187,7 +201,13 @@ def _K(config, params, X1, X2=None, component_mask=None, coded=None,
 
 
 def _Kdiag(config, params, X, component_mask=None, coded=None,
-           factor_mask=None):
+           factor_mask=None, banks=None):
+    if banks is not None and config.fused_layout is not None:
+        from ..kernels.fused import gram_diag_coded_fused
+
+        return gram_diag_coded_fused(config.fused_layout, coded,
+                                     params["kernel_raw"], banks,
+                                     component_mask)
     if config.coded_structure:
         return gram_diag_coded(coded, params["kernel_raw"], X,
                                component_mask,
@@ -242,14 +262,24 @@ def _chol(K):
 
 
 def _conditional(config, params, Xnew, component_mask=None, coded=None,
-                 full_cov: bool = False, factor_mask=None):
-    """Whitened SVGP conditional q(f(Xnew)) → (mean, var-or-cov)."""
+                 full_cov: bool = False, factor_mask=None, banks=None):
+    """Whitened SVGP conditional q(f(Xnew)) → (mean, var-or-cov).
+
+    ``banks`` (fused path) carries the contract Z == Xnew == banked X
+    (the M ≥ N search/fit case): Kuu and Kuf are then the SAME matrix,
+    computed once — half the gram work of the generic path."""
     Z = params["z"]
     jitter = default_jitter()
-    Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
-    Kuu = Kuu + jitter * jnp.eye(Z.shape[0], dtype=Kuu.dtype)
+    if banks is not None and config.fused_layout is not None:
+        K = _K(config, params, Z, Z, component_mask, coded, banks=banks)
+        Kuu = K + jitter * jnp.eye(Z.shape[0], dtype=K.dtype)
+        Kuf = K
+    else:
+        Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
+        Kuu = Kuu + jitter * jnp.eye(Z.shape[0], dtype=Kuu.dtype)
+        Kuf = _K(config, params, Z, Xnew, component_mask, coded,
+                 factor_mask)
     L = jnp.linalg.cholesky(Kuu)
-    Kuf = _K(config, params, Z, Xnew, component_mask, coded, factor_mask)
     A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)  # (M, N)
 
     q_mu = params["q_mu"]
@@ -259,10 +289,11 @@ def _conditional(config, params, Xnew, component_mask=None, coded=None,
     SA = q_sqrt.T @ A  # (M, N)
     if full_cov:
         Kff = _K(config, params, Xnew, Xnew, component_mask, coded,
-                 factor_mask)
+                 factor_mask, banks=banks)
         fcov = Kff - A.T @ A + SA.T @ SA
         return fmean, fcov
-    Kdiag = _Kdiag(config, params, Xnew, component_mask, coded, factor_mask)
+    Kdiag = _Kdiag(config, params, Xnew, component_mask, coded,
+                   factor_mask, banks=banks)
     fvar = Kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
     return fmean, fvar[:, None]
 
@@ -282,7 +313,7 @@ def kl_whitened(params):
 
 
 def elbo(config: SVGPConfig, params, X, Y, component_mask=None, coded=None,
-         scale: float = 1.0, factor_mask=None, weights=None):
+         scale: float = 1.0, factor_mask=None, weights=None, banks=None):
     """Evidence lower bound (gpflow SVGP.elbo semantics;
     model_classes.py:817-835 uses this as the MLL objective).
 
@@ -293,7 +324,7 @@ def elbo(config: SVGPConfig, params, X, Y, component_mask=None, coded=None,
     program and batch in a single vmap.
     """
     fmean, fvar = _conditional(config, params, X, component_mask, coded,
-                               factor_mask=factor_mask)
+                               factor_mask=factor_mask, banks=banks)
     lik_p = config.likelihood.constrain(params["lik_raw"])
     ve = config.likelihood.variational_expectations(
         lik_p, fmean[:, 0], fvar[:, 0], Y[:, 0]
@@ -331,12 +362,12 @@ def log_prior_density(config: SVGPConfig, params,
 def log_posterior(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
                   component_mask=None, coded=None, scale: float = 1.0,
-                  factor_mask=None, weights=None):
+                  factor_mask=None, weights=None, banks=None):
     """ELBO + prior log-density (gpflow log_posterior_density; this is what
     the reference's training_loss minimises and what BIC consumes,
     model_search.py:2311)."""
     return elbo(config, params, X, Y, component_mask, coded, scale,
-                factor_mask=factor_mask, weights=weights) + (
+                factor_mask=factor_mask, weights=weights, banks=banks) + (
         log_prior_density(config, params, penalization_factor)
     )
 
@@ -344,10 +375,11 @@ def log_posterior(config: SVGPConfig, params, X, Y,
 def training_loss(config: SVGPConfig, params, X, Y,
                   penalization_factor: float = 0.0,
                   component_mask=None, coded=None, scale: float = 1.0,
-                  factor_mask=None, weights=None):
+                  factor_mask=None, weights=None, banks=None):
     return -log_posterior(config, params, X, Y, penalization_factor,
                           component_mask, coded, scale,
-                          factor_mask=factor_mask, weights=weights)
+                          factor_mask=factor_mask, weights=weights,
+                          banks=banks)
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +388,7 @@ def training_loss(config: SVGPConfig, params, X, Y,
 
 
 def exact_mll(config: SVGPConfig, params, X, Y, component_mask=None,
-              coded=None, factor_mask=None):
+              coded=None, factor_mask=None, banks=None):
     """Exact Gaussian log marginal likelihood (Cholesky of K+σ²I).
 
     Used as the Gaussian fast-path objective when the inducing set is the
@@ -369,7 +401,8 @@ def exact_mll(config: SVGPConfig, params, X, Y, component_mask=None,
     N = X.shape[0]
     dtype = X.dtype
     noise = config.likelihood.constrain(params["lik_raw"])[0]
-    K = _K(config, params, X, X, component_mask, coded, factor_mask)
+    K = _K(config, params, X, X, component_mask, coded, factor_mask,
+           banks=banks)
     Ky = K + noise * jnp.eye(N, dtype=dtype)
     L = _chol(Ky)
     err = (Y - _mean(config, params, X))[:, 0]
@@ -431,7 +464,7 @@ def collapsed_elbo(config: SVGPConfig, params, X, Y, component_mask=None,
 
 
 def optimal_q(config: SVGPConfig, params, X, Y, component_mask=None,
-              coded=None, factor_mask=None):
+              coded=None, factor_mask=None, banks=None):
     """Closed-form optimal whitened (q_mu, q_sqrt) for Gaussian likelihood:
     Σ = (I + AAᵀ/σ²)⁻¹, q_mu = Σ A (y−c)/σ², q_sqrt = chol(Σ)."""
     Z = params["z"]
@@ -439,10 +472,16 @@ def optimal_q(config: SVGPConfig, params, X, Y, component_mask=None,
     dtype = X.dtype
     jitter = default_jitter()
     noise = config.likelihood.constrain(params["lik_raw"])[0]
-    Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
-    Kuu = Kuu + jitter * jnp.eye(M, dtype=dtype)
+    if banks is not None and config.fused_layout is not None:
+        # banked contract: Z == X, so Kuu and Kuf are one matrix
+        K = _K(config, params, Z, Z, component_mask, coded, banks=banks)
+        Kuu = K + jitter * jnp.eye(M, dtype=dtype)
+        Kuf = K
+    else:
+        Kuu = _K(config, params, Z, Z, component_mask, coded, factor_mask)
+        Kuu = Kuu + jitter * jnp.eye(M, dtype=dtype)
+        Kuf = _K(config, params, Z, X, component_mask, coded, factor_mask)
     L = jnp.linalg.cholesky(Kuu)
-    Kuf = _K(config, params, Z, X, component_mask, coded, factor_mask)
     A = jax.scipy.linalg.solve_triangular(L, Kuf, lower=True)
     err = Y - _mean(config, params, X)
     B = jnp.eye(M, dtype=dtype) + (A @ A.T) / noise

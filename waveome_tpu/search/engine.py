@@ -11,6 +11,7 @@ search incurs only a handful of compiles.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from functools import lru_cache
 
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_float
+from ..kernels import fused as _fused
 from ..kernels.spec import KernelSpec
 from ..likelihoods import needs_loss_guard
 from ..models import svgp
@@ -114,7 +116,7 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
     M = config.num_inducing
 
     def one_fit(coded_i, raw_i, kmask_i, key, randomize, data, y_col):
-        X, Ymat, tmpl, Xh, Yhmat = data
+        X, Ymat, tmpl, Xh, Yhmat, banks = data
         Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
         Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
         mask = {
@@ -177,10 +179,15 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             obj = (svgp.exact_mll
                    if config.num_inducing >= X.shape[0]
                    else svgp.collapsed_elbo)
+            # fused banked gram (kernels/fused.py): only exact_mll takes
+            # banks (the M == N, Z == X case — banks key on X alone)
+            okw = ({"banks": banks}
+                   if (config.fused_layout is not None
+                       and config.num_inducing >= X.shape[0]) else {})
 
             def loss(ps):
                 full = dict(p0, **ps)
-                return -obj(config, full, X, Y, coded=coded_i)
+                return -obj(config, full, X, Y, coded=coded_i, **okw)
 
             res = plbfgs_fit(loss, p0_opt, mask=mask_opt,
                              max_iter=max_iter, tol=1e-8, ftol=ftol,
@@ -194,7 +201,7 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
             # materialize_optimal_q at finalize.
             if split:
                 q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y,
-                                              coded=coded_i)
+                                              coded=coded_i, **okw)
                 full_q = dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
             res = res._replace(params={
                 k: full[k] for k in ("kernel_raw", "mean_c", "lik_raw",
@@ -314,7 +321,7 @@ def _cand_adam_fns(config, split: bool, dtype_name: str):
     guard = needs_loss_guard(config.likelihood.name)
 
     def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
-        X, Ymat, tmpl, Xh, Yhmat = data
+        X, Ymat, tmpl, Xh, Yhmat, _banks = data
         Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
         Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
         mask = {
@@ -414,7 +421,7 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
     ftol = 1e-9 if dtype == jnp.float64 else 1e-6
 
     def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
-        X, Ymat, tmpl, Xh, Yhmat = data
+        X, Ymat, tmpl, Xh, Yhmat, banks = data
         Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
         mask_opt = {
             "kernel_raw": kmask_i > 0,
@@ -439,10 +446,15 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
         # frozen (M == N) — one gram + one Cholesky per evaluation
         obj = (svgp.exact_mll if config.num_inducing >= X.shape[0]
                else svgp.collapsed_elbo)
+        # fused banked gram (kernels/fused.py): only the exact-MLL
+        # objective takes banks (Z == X, banks key on X alone)
+        okw = ({"banks": banks}
+               if (config.fused_layout is not None
+                   and config.num_inducing >= X.shape[0]) else {})
 
         def loss(ps):
             full = dict(p0, **ps)
-            return -obj(config, full, X, Y, coded=coded_i)
+            return -obj(config, full, X, Y, coded=coded_i, **okw)
 
         return p0, p0_opt, mask_opt, loss
 
@@ -467,11 +479,15 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
     def hold_one(params_opt, coded_i, y_col, data):
         # split scoring: materialize the closed-form q for THIS
         # candidate's optimum, then holdout log density
-        X, Ymat, tmpl, Xh, Yhmat = data
+        X, Ymat, tmpl, Xh, Yhmat, banks = data
         Y = jax.lax.dynamic_slice_in_dim(Ymat, y_col, 1, axis=1)
         Yh = jax.lax.dynamic_slice_in_dim(Yhmat, y_col, 1, axis=1)
         full = dict(tmpl, **params_opt)
-        q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y, coded=coded_i)
+        okw = ({"banks": banks}
+               if (config.fused_layout is not None
+                   and config.num_inducing >= X.shape[0]) else {})
+        q_mu, q_sqrt = svgp.optimal_q(config, full, X, Y, coded=coded_i,
+                                      **okw)
         fq = dict(full, q_mu=q_mu, q_sqrt_raw=q_sqrt)
         return jnp.sum(
             svgp.predict_log_density(config, fq, Xh, Yh, coded=coded_i))
@@ -878,6 +894,26 @@ def fit_candidates(
         coded_ops=ops_table,
     )
 
+    # fused banked gram (kernels/fused.py): route the Gaussian exact-MLL
+    # hot loop's gram assembly through precomputed distance/cat-lin banks
+    # + one routing GEMM instead of the per-factor switch dispatch. Only
+    # the M == N (Z == X) Gaussian case qualifies — banks key on X alone.
+    use_fused = (
+        os.environ.get("WAVEOME_FUSED", "1") == "1"
+        and config.likelihood.name == "gaussian"
+        and config.num_inducing >= N
+        and _fused.supported(specs)
+    )
+    cl_keys = None
+    if use_fused:
+        layout, cl_keys, routing = _fused.build_layout(
+            specs, X_np.shape[1], C, F)
+        coded = dict(coded, **{
+            k: jnp.asarray(v, dtype=dtype) if v.dtype.kind == "f"
+            else jnp.asarray(v)
+            for k, v in routing.items()})
+        config = dataclasses.replace(config, fused_layout=layout)
+
     raw_np = np.stack([
         s.padded(C, F).init_raw_params_np() for s in specs
     ])
@@ -914,14 +950,17 @@ def fit_candidates(
         if Yh_np.ndim == 1:
             Yh_np = Yh_np[:, None]
 
+    X_dev = jnp.asarray(X_np, dtype=dtype)
     data = (
-        jnp.asarray(X_np, dtype=dtype),
+        X_dev,
         jnp.asarray(Y_np, dtype=dtype),
         jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), template),
         jnp.asarray(Xh_np, dtype=dtype) if split else jnp.zeros(
             (1, X_np.shape[1]), dtype=dtype),
         jnp.asarray(Yh_np, dtype=dtype) if split else jnp.zeros(
             (1, 1), dtype=dtype),
+        (_fused.build_banks(config.fused_layout, cl_keys, X_dev)
+         if use_fused else None),
     )
     if n_shards > 1:
         data = meshlib.replicate(data, mesh)

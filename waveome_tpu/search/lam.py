@@ -340,13 +340,16 @@ def multioutput_lam_search(
     prune: bool = True,
     prune_threshold: float = 0.1,
     verbose: bool = False,
+    mesh=None,
+    use_mesh: bool = True,
 ) -> Dict:
     """CV of the LMC penalization factor (model_search.py:575-820).
 
     TPU-native: folds become 0/1 observation weights (static shapes) and
     the whole (λ × fold) grid fits as ONE vmapped program
     (``lmc.fit_lmc_cells``) — replacing the reference's Ray task per cell
-    (model_search.py:707-761)."""
+    (model_search.py:707-761). With multiple devices (or an explicit
+    ``mesh``) the cell axis is sharded across the mesh."""
     from ..config import default_float
     from ..models import lmc
 
@@ -375,9 +378,13 @@ def multioutput_lam_search(
     lam_arr = np.asarray([lam_list[li] for li, _ in cells])
     w_arr = Wtrain[np.asarray([ki for _, ki in cells])]
 
+    if mesh is None and use_mesh and len(jax.devices()) > 1:
+        from ..parallel import mesh as meshlib
+
+        mesh = meshlib.outcome_mesh()
     params_k, _ = lmc.fit_lmc_cells(
         config, params0, Xn, Yn, lam_arr, w_arr,
-        num_opt_iter=num_opt_iter,
+        num_opt_iter=num_opt_iter, mesh=mesh,
     )
 
     # holdout mean predict_log_density per cell (model_search.py:692-697)
