@@ -74,6 +74,14 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="run the (rate x units x noise) grid and write "
                          "a results artifact (implies --baselines)")
+    ap.add_argument("--full-grid", action="store_true",
+                    help="with --sweep: the reference harness's FULL "
+                         "parameter grid (sim_waveome_hpc_run.py:1399-"
+                         "1403: rate x units x epsilon x alpha = "
+                         "4x4x3x3 = 144 cells) instead of the reduced "
+                         "2x2x2 grid")
+    ap.add_argument("--cell-budget-s", type=float, default=1800,
+                    help="per-cell subprocess timeout for --sweep")
     args = ap.parse_args()
 
     if args.sweep:
@@ -106,48 +114,69 @@ def run_sweep(args):
     import time
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    grid = {"rate": [4, 8], "units": [8, 16], "noise": [0.1, 0.5]}
+    if args.full_grid:
+        # the reference harness's exact grid (sim_waveome_hpc_run.py:
+        # 1399-1403): rate_list, units_list, epsilon_list, alpha_list
+        grid = {"rate": [2, 4, 8, 16], "units": [10, 50, 100, 500],
+                "noise": [0, 1, 10]}
+        alphas = [1, 10, 100] if args.likelihood == "nb" else [args.alpha]
+    else:
+        grid = {"rate": [4, 8], "units": [8, 16], "noise": [0.1, 0.5]}
+        alphas = [args.alpha]
+    cells = [
+        (rate, units, noise, alpha)
+        for rate in grid["rate"] for units in grid["units"]
+        for noise in grid["noise"] for alpha in alphas
+    ]
+    # small cells first: most of the grid lands before any N=8000 cell
+    # can eat the budget
+    cells.sort(key=lambda c: (c[0] * c[1], c[2]))
     rows = []
     t0 = time.time()
-    for rate in grid["rate"]:
-        for units in grid["units"]:
-            for noise in grid["noise"]:
-                cell_f = os.path.join(
-                    OUT_DIR, f"cell_{args.likelihood}_r{rate}_u{units}"
-                             f"_n{noise}.json")
-                if not os.path.exists(cell_f):
-                    cmd = [sys.executable, os.path.abspath(__file__),
-                           "--likelihood", args.likelihood,
-                           "--rate", str(rate), "--units", str(units),
-                           "--noise", str(noise),
-                           "--alpha", str(args.alpha),
-                           "--seed", str(args.seed),
-                           "--max-iter", str(args.max_iter),
-                           "--max-depth", str(args.max_depth),
-                           "--baselines", "--cell-json", cell_f]
-                    if args.skip_search:
-                        cmd.append("--skip-search")
-                    for attempt in (1, 2):
-                        r = subprocess.run(cmd, timeout=7200)
-                        if r.returncode == 0 and os.path.exists(cell_f):
-                            break
-                        print(f"# sweep cell rate={rate} units={units} "
-                              f"noise={noise} attempt {attempt} failed "
-                              f"rc={r.returncode}")
-                if not os.path.exists(cell_f):
-                    continue
-                with open(cell_f) as f:
-                    run = json.load(f)
-                rows.append({"rate": rate, "units": units, "noise": noise,
-                             "results": run})
+    for rate, units, noise, alpha in cells:
+        tag = f"cell_{args.likelihood}_r{rate}_u{units}_n{noise}"
+        if args.likelihood == "nb" and (args.full_grid or alpha != 1.0):
+            tag += f"_a{alpha}"
+        cell_f = os.path.join(OUT_DIR, tag + ".json")
+        if not os.path.exists(cell_f):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--likelihood", args.likelihood,
+                   "--rate", str(rate), "--units", str(units),
+                   "--noise", str(noise),
+                   "--alpha", str(alpha),
+                   "--seed", str(args.seed),
+                   "--max-iter", str(args.max_iter),
+                   "--max-depth", str(args.max_depth),
+                   "--baselines", "--cell-json", cell_f]
+            if args.skip_search:
+                cmd.append("--skip-search")
+            for attempt in (1, 2):
+                try:
+                    r = subprocess.run(cmd, timeout=args.cell_budget_s)
+                    rc = r.returncode
+                except subprocess.TimeoutExpired:
+                    rc = "timeout"
+                if rc == 0 and os.path.exists(cell_f):
+                    break
                 print(f"# sweep cell rate={rate} units={units} "
-                      f"noise={noise} done ({time.time() - t0:.0f}s)")
-    n_grid = (len(grid["rate"]) * len(grid["units"])
-              * len(grid["noise"]))
+                      f"noise={noise} alpha={alpha} attempt {attempt} "
+                      f"failed rc={rc}")
+        if not os.path.exists(cell_f):
+            continue
+        with open(cell_f) as f:
+            run = json.load(f)
+        rows.append({"rate": rate, "units": units, "noise": noise,
+                     "alpha": alpha, "results": run})
+        print(f"# sweep cell rate={rate} units={units} "
+              f"noise={noise} alpha={alpha} done "
+              f"({time.time() - t0:.0f}s)")
+    n_grid = len(cells)
     artifact = {
         "likelihood": args.likelihood,
-        "alpha": args.alpha if args.likelihood == "nb" else None,
-        "grid": grid,
+        "alpha": (None if args.full_grid and args.likelihood == "nb"
+                  else args.alpha),
+        "grid": dict(grid, alpha=alphas),
+        "full_grid": bool(args.full_grid),
         "seed": args.seed,
         "max_iter": args.max_iter,
         "wall_s": round(time.time() - t0, 1),
@@ -158,6 +187,8 @@ def run_sweep(args):
     }
     name = "count_sweep.json" if args.likelihood == "nb" \
         else "gaussian_sweep.json"
+    if args.full_grid:
+        name = "full_" + name
     with open(os.path.join(OUT_DIR, name), "w") as f:
         json.dump(artifact, f, indent=2, default=str)
     print(json.dumps(artifact["summary"], indent=2, default=str))
@@ -275,13 +306,28 @@ def run_gaussian_config(args):
             ),
         }
 
-        # (b) greedy search
+        # (b) greedy search — with a SELECTION-TIME noise floor of
+        # 1e-3*var(y): at n=32 BIC occasionally crowned near-
+        # interpolating categorical*SE structures whose noise collapsed
+        # to the 1e-6 bound (round-4 gaussian_sweep worst-cell KL 58,
+        # docs/BENCHMARKS.md). Flooring the Gaussian noise during the
+        # candidate fits removes those degenerate optima without
+        # touching BIC semantics; the reference has no such guard (its
+        # gpflow bound is the same 1e-6 ours defaults to), so this is a
+        # framework robustness knob, recorded in the artifact.
         if not args.skip_search:
+            from waveome_tpu.likelihoods import Likelihood
+
+            lik_floored = Likelihood(
+                "gaussian", ("variance",), (1.0,), ("softplus",),
+                (max(1e-3 * float(np.var(Y)), 1e-6),),
+            )
             sres = full_kernel_search(
                 X, Y, kern_list=["squared_exponential", "matern12",
                                  "linear"],
                 cat_vars=[0, 1], max_depth=args.max_depth, num_restart=1,
                 max_iter=args.max_iter, random_seed=args.seed,
+                lik=lik_floored,
             )
             best = sres["best_model_name"]
             mu_s, var_s = sres["best_model"].predict_y(hold)
@@ -290,6 +336,7 @@ def run_gaussian_config(args):
                 "recovery": datasets.feature_recovery_score(
                     true_feats, best
                 ),
+                "noise_floor": float(lik_floored.param_lower[0]),
                 "var_exp": sres["var_exp"],
                 "holdout_mse": datasets.holdout_mse(
                     mu_t, np.asarray(mu_s)),
@@ -366,9 +413,11 @@ def run_count_config(args):
         entry = {}
 
         # (a) penalized saturated path, NB likelihood
+        # M = min(N, 500): the reference SparseGP default inducing size
+        # (model_classes.py:696) — the full grid reaches N = 8000
         config = svgp.make_config(spec_sat, "negative_binomial",
                                   num_data=n, input_dim=3,
-                                  num_inducing_points=n)
+                                  num_inducing_points=min(n, 500))
         params0 = svgp.init_params(config, jnp.asarray(X))
         # GLM-style mean init for the exp link (fit/batch.py:178)
         params0["mean_c"] = jnp.log(jnp.maximum(
@@ -410,7 +459,7 @@ def run_count_config(args):
                                  "linear"],
                 cat_vars=[0, 1], max_depth=args.max_depth, num_restart=1,
                 lik="negative_binomial", max_iter=args.max_iter,
-                random_seed=args.seed, num_inducing_points=n,
+                random_seed=args.seed, num_inducing_points=min(n, 500),
             )
             best = sres["best_model_name"]
             bm = sres["best_model"]

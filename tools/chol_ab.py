@@ -65,6 +65,9 @@ def main():
                     default=int(os.environ.get("BENCH_OUTCOMES", "256")))
     ap.add_argument("--max-iter", type=int,
                     default=int(os.environ.get("BENCH_MAX_ITER", "200")))
+    ap.add_argument("--var", default="WAVEOME_PALLAS_CHOL",
+                    help="env flag to A/B (0 vs 1), e.g. "
+                         "WAVEOME_BLOCKED_CHOL for the blocked XLA form")
     args = ap.parse_args()
 
     if args.child:
@@ -75,7 +78,7 @@ def main():
     paths = {}
     for flag in ("0", "1"):
         out = os.path.join(tmp, f"chol{flag}.npz")
-        env = dict(os.environ, WAVEOME_PALLAS_CHOL=flag)
+        env = dict(os.environ, **{args.var: flag})
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", out,
              "--outcomes", str(args.outcomes),
@@ -83,8 +86,8 @@ def main():
             env=env, check=True, cwd=REPO)
         paths[flag] = out
 
-    a = np.load(paths["0"])   # XLA
-    b = np.load(paths["1"])   # hybrid pallas
+    a = np.load(paths["0"])   # XLA native
+    b = np.load(paths["1"])   # variant under test
     la, lb = a["loss"], b["loss"]
     fin = np.isfinite(la) & np.isfinite(lb)
     # loss is a penalized NLL (lower better); scale-relative comparison

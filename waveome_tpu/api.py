@@ -432,7 +432,10 @@ class GPSearch:
         prune: bool = True,
         keep_all: bool = False,
         metric_diff: float = 6.0,
-        num_restart: int = 5,
+        # the reference's run_search default (model_search.py:1082) —
+        # full_kernel_search's own default is 5 but run_search overrides
+        # it to 1 and every reference application goes through run_search
+        num_restart: int = 1,
         softmax_select: bool = False,
         split: bool = False,
         training_percent: float = 0.7,

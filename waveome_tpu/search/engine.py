@@ -685,7 +685,20 @@ def _fit_candidates_segmented(config, split, n_fits, max_iter, dtype,
         cap = min(cap, int(os.environ.get("WAVEOME_GAUSS_SEG_WIDTH",
                                           "128")))
         n_rows = int(data[0].shape[0])
-        seq_trials = cap * n_rows ** 2 > 64 * 500 * 500
+        # trial-vmap budget: the exact-MLL objective (M >= N, the
+        # bench/real-data search shape) holds ONE (width, N, N) gram +
+        # Cholesky per trial — 4 trials at width 128, N=512 is ~0.5 GB,
+        # nowhere near the collapsed bound's blow-up. Batched trials
+        # matter on this chip: XLA's factorization kernels are serial
+        # per column/panel, so 4x more batch per dispatch amortizes the
+        # per-step launch cost that dominates at these small N (the
+        # 0.18% MFU headroom). Keep serializing the genuinely sparse
+        # collapsed-bound path beyond the proven 64-wide footprint.
+        exact_path = config.num_inducing >= n_rows
+        budget = int(os.environ.get(
+            "WAVEOME_TRIAL_VMAP_BUDGET",
+            str((512 * 500 * 500) if exact_path else (64 * 500 * 500))))
+        seq_trials = cap * n_rows ** 2 > budget
         fns = _cand_lbfgs_fns(config, bool(split), np.dtype(dtype).name,
                               seq_trials)
         loop = _gauss_seg_loop
