@@ -39,10 +39,21 @@ canonical path (the counterpart of the reference's
 penalized kernel selection over every outcome at once, then inspect
 what was found with component plots, per-individual posteriors, and the
 feature-importance heatmap."""),
-    code("""import numpy as np
+    code("""import os
+
+if os.environ.get("SIM_PLATFORM") == "cpu":
+    # CPU execution (CI / no chip): the axon TPU-tunnel plugin
+    # overrides JAX_PLATFORMS, so drop its factory before first use
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+%matplotlib inline
+import numpy as np
 import pandas as pd
-import matplotlib
-matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 from waveome_tpu import GPSearch"""),

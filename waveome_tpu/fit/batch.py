@@ -376,6 +376,15 @@ def _segmented_gaussian_fit(
             )
         return res_full
 
+    # WAVEOME_FIT_PROFILE=1: stage anatomy of a penalized batch (where
+    # the iHMP 13.7-minute wall clock goes — optimize segments vs the
+    # prune+importance finalize sweep)
+    import os as _os
+    import time as _time
+
+    _prof = _os.environ.get("WAVEOME_FIT_PROFILE", "0") == "1"
+    _t_fit0 = _time.perf_counter()
+
     if not gaussian:
         # joint-(q, θ) Adam+NatGrad segments (the reference's optimizer
         # for large parameter sets, model_classes.py:344-470).
@@ -432,6 +441,15 @@ def _segmented_gaussian_fit(
                          np.dtype(dtype).name),
             None, max_iter,
         )
+    if _prof:
+        jax.block_until_ready(res.loss)
+        print(f"[fit-prof] optimize B={B} lik={config.likelihood.name} "
+              f"elapsed={_time.perf_counter() - _t_fit0:.2f}s "
+              f"iters_p50={int(np.percentile(np.asarray(res.num_iters)[:B], 50))} "
+              f"max={int(np.asarray(res.num_iters)[:B].max())}",
+              flush=True)
+    _t_fin0 = _time.perf_counter()
+
     if B_pad != B:
         res = jax.tree.map(lambda a: a[:B], res)
         Ys_dev = Ys_dev[:B]
@@ -470,6 +488,12 @@ def _segmented_gaussian_fit(
     cm = jnp.concatenate(cm_parts, axis=0)
     fm = jnp.concatenate(fm_parts, axis=0)
     imp = jnp.concatenate(imp_parts, axis=0)
+    if _prof:
+        jax.block_until_ready(imp)
+        print(f"[fit-prof] finalize B={B} chunks="
+              f"{-(-B // FIN_CHUNK)} chunk={FIN_CHUNK} "
+              f"elapsed={_time.perf_counter() - _t_fin0:.2f}s",
+              flush=True)
     loss = res.loss
     return PenalizedFitResult(
         params=params,

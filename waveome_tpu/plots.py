@@ -17,6 +17,7 @@ Re-provides the reference's interpretation figures:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional, Sequence
 
@@ -24,7 +25,12 @@ import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg")
+# headless default WITHOUT clobbering notebook backends: forcing Agg
+# here used to silently kill inline rendering for every figure drawn
+# after `import waveome_tpu` in a Jupyter session
+if ("inline" not in matplotlib.get_backend().lower()
+        and not os.environ.get("DISPLAY")):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import seaborn as sns  # noqa: E402
 
