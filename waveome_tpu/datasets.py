@@ -120,7 +120,20 @@ def simulate_gp_outcomes(
         gram(spec, raw_params, jnp.asarray(X, jnp.float64))
     ).astype(np.float64)
     jit = 1e-6 * max(float(np.max(np.diag(K))), 1.0)
-    L = np.linalg.cholesky(K + jit * np.eye(N))
+    # escalating-jitter retry: without x64 the device gram is float32, and
+    # large-N grids (the full 576-combination sweep reaches N=8000) land
+    # grams whose f32 rounding exceeds a fixed 1e-6 ridge
+    L = None
+    for _ in range(8):
+        try:
+            L = np.linalg.cholesky(K + jit * np.eye(N))
+            break
+        except np.linalg.LinAlgError:
+            jit *= 10.0
+    if L is None:
+        # symmetric eigenvalue floor — always factorizable
+        w, V = np.linalg.eigh((K + K.T) / 2.0)
+        L = V * np.sqrt(np.maximum(w, jit))[None, :]
     F = L @ rng.normal(size=(N, num_outcomes))
     if likelihood == "gaussian":
         Y = F + noise_sd * rng.normal(size=F.shape)

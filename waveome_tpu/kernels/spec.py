@@ -112,8 +112,14 @@ class KernelSpec:
             comps.append(tuple(Primitive("empty") for _ in range(F)))
         return KernelSpec(tuple(comps))
 
-    def coded(self):
-        """Export structure as integer arrays for the runtime-coded gram."""
+    def coded_np(self):
+        """Host-numpy form of :meth:`coded` — no device transfers.
+
+        The search engine preps hundreds of candidate specs per
+        expansion step; on a tunneled TPU backend every per-spec
+        ``jnp.asarray`` is a host→device round trip (~5 ms), which made
+        spec prep rival the fit dispatch itself (search-prof2 receipts,
+        round 5)."""
         spec = self.padded()
         C, F = spec.num_components, spec.max_factors
         op_arr = np.zeros((C, F), dtype=np.int32)
@@ -127,16 +133,20 @@ class KernelSpec:
                 deg_arr[i, j] = p.degree
                 ord_arr[i, j] = p.order
         coded = {
-            "ops": jnp.asarray(op_arr),
-            "dims": jnp.asarray(dim_arr),
-            "degrees": jnp.asarray(deg_arr, dtype=default_float()),
+            "ops": op_arr,
+            "dims": dim_arr,
+            "degrees": np.asarray(deg_arr, dtype=default_float()),
         }
         # arccosine order rides along ONLY when non-default somewhere:
         # the all-default coded dict (the search engine's case) keeps its
         # exact operand set, so existing compiled programs stay valid
         if (ord_arr != 1).any():
-            coded["orders"] = jnp.asarray(ord_arr)
+            coded["orders"] = ord_arr
         return coded
+
+    def coded(self):
+        """Export structure as integer arrays for the runtime-coded gram."""
+        return {k: jnp.asarray(v) for k, v in self.coded_np().items()}
 
     # -- parameters --
     def init_raw_params_np(self) -> np.ndarray:

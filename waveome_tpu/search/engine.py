@@ -52,6 +52,17 @@ def _stack_coded(specs: Sequence[KernelSpec], C: int, F: int):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *coded)
 
 
+@lru_cache(maxsize=8192)
+def _spec_prep(spec: KernelSpec, C: int, F: int, dtype_name: str):
+    """Per-(spec, shape) host prep, cached across fit_candidates calls:
+    (coded numpy dict, init raw (C,F,P) f64, train mask (C,F,P) bool,
+    frozenset of op codes). dtype_name keys the cache because
+    ``coded_np`` bakes ``default_float`` into the degrees leaf."""
+    sp = spec.padded(C, F)
+    return (sp.coded_np(), sp.init_raw_params_np(), sp.train_mask_np(),
+            frozenset(p.code for comp in spec.components for p in comp))
+
+
 def _bucket(n: int, buckets) -> int:
     """Round n up to the next bucket (last bucket's granularity above)."""
     for b in buckets:
@@ -418,7 +429,11 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
     the LAST row converges, so one straggler made a whole one-shot
     dispatch pay max_iter for all rows."""
     dtype = jnp.dtype(dtype_name)
-    ftol = 1e-9 if dtype == jnp.float64 else 1e-6
+    # stall-stop knobs (A/B; candidates rank on BIC rounded to 2dp in a
+    # width-6 beam, so sub-0.005 loglik gains can't flip a selection)
+    ftol = (1e-9 if dtype == jnp.float64
+            else float(os.environ.get("WAVEOME_SEARCH_FTOL", "1e-6")))
+    patience = int(os.environ.get("WAVEOME_SEARCH_PATIENCE", "10"))
 
     def build(coded_i, raw_i, kmask_i, key, data, y_col, randomize):
         X, Ymat, tmpl, Xh, Yhmat, banks = data
@@ -463,7 +478,7 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
         _, p0_opt, mask_opt, loss = build(coded_i, raw_i, kmask_i, key,
                                           data, y_col, randomize)
         return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
-                          tol=1e-8, ftol=ftol, patience=10,
+                          tol=1e-8, ftol=ftol, patience=patience,
                           trial_sequential=seq_trials,
                           return_carry=True)
 
@@ -472,7 +487,7 @@ def _cand_lbfgs_fns(config, split: bool, dtype_name: str,
         _, p0_opt, mask_opt, loss = build(coded_i, raw_i, kmask_i, key,
                                           data, y_col, randomize)
         return plbfgs_fit(loss, p0_opt, mask=mask_opt, max_iter=bound,
-                          tol=1e-8, ftol=ftol, patience=10,
+                          tol=1e-8, ftol=ftol, patience=patience,
                           trial_sequential=seq_trials,
                           carry=carry, return_carry=True)
 
@@ -841,8 +856,16 @@ def fit_candidates(
     dtype = default_float()
     import time as _time
 
-    _prof = os.environ.get("WAVEOME_SEARCH_PROFILE", "0") == "1"
+    _prof_lvl = int(os.environ.get("WAVEOME_SEARCH_PROFILE", "0") or 0)
+    _prof = _prof_lvl >= 1
     _t0 = _time.perf_counter()
+    _marks = [("start", _t0)]
+
+    def _mark(label):
+        # phase anatomy at WAVEOME_SEARCH_PROFILE=2: where the
+        # fit_candidates wall goes OUTSIDE the fit dispatch itself
+        if _prof_lvl >= 2:
+            _marks.append((label, _time.perf_counter()))
     # host copies; device arrays must be jit ARGUMENTS, not closure
     # captures (remote-TPU lowering reads back every captured device array)
     X_np = np.asarray(X, dtype=np.float64)
@@ -866,6 +889,15 @@ def fit_candidates(
     # share one compiled program
     n_pad = _bucket(n_cand, _WIDTH_BUCKETS)
     cap = int(os.environ.get("WAVEOME_SEG_WIDTH", "256"))
+    if likelihood == "gaussian":
+        # the Gaussian sub-batch cap is tighter (HBM guard in
+        # _fit_candidates_segmented) — pad to ITS slice plan, not the
+        # generic cap's: a 148-candidate depth-2 expansion was padding
+        # 148→256 and dispatching 128+128, the second slice 84% padding
+        # (search-prof receipt, round 5); with the right cap it pads to
+        # 160 and dispatches 128+32
+        cap = min(cap, int(os.environ.get("WAVEOME_GAUSS_SEG_WIDTH",
+                                          "128")))
     if n_shards > 1:
         # the sharded batch axis must divide evenly over devices
         cap = -(-cap // n_shards) * n_shards
@@ -886,7 +918,42 @@ def fit_candidates(
         F = _bucket(max(max(s.max_factors for s in specs), 2), _F_BUCKETS)
     else:
         C, F = pad_shape
-    coded = _stack_coded(specs, C, F)
+    # dedup identical candidate specs: the lockstep multi-outcome search
+    # repeats the SAME expansion structures for every outcome (a 16-
+    # outcome depth-1 step preps 112 specs but only 7 distinct ones), and
+    # the per-spec numpy prep (padded/coded/init/mask python loops) was
+    # rivaling the fit dispatch itself — 4.8-9.3 s of a 12-31 s
+    # fit_candidates call (search-prof2 receipts, round 5). Prep runs
+    # once per UNIQUE (spec, C, F) via an LRU cache; per-candidate rows
+    # materialize as one numpy gather + one host→device transfer per
+    # leaf.
+    row_of = np.empty(n_pad, dtype=np.int64)
+    uniq_j = {}
+    uniq_specs = []
+    for i, s in enumerate(specs):
+        j = uniq_j.get(s)
+        if j is None:
+            j = len(uniq_specs)
+            uniq_j[s] = j
+            uniq_specs.append(s)
+        row_of[i] = j
+    preps = [_spec_prep(s, C, F, np.dtype(dtype).name)
+             for s in uniq_specs]
+    _mark("spec_prep")
+
+    coded_keys = set()
+    for coded_u, _r, _m, _o in preps:
+        coded_keys.update(coded_u)
+    _ord_default = np.ones((C, F), dtype=np.int32)
+
+    def _coded_leaf(p, k):
+        return p[0].get(k, _ord_default)
+
+    coded = {
+        k: jnp.asarray(
+            np.stack([_coded_leaf(p, k) for p in preps])[row_of])
+        for k in sorted(coded_keys)
+    }
 
     # static op table: the coded-dispatch switch emits one gram subgraph
     # per branch per factor — restrict it to the ops this search can
@@ -894,10 +961,8 @@ def fit_candidates(
     from ..kernels import ops as _ops
 
     present = {_ops.EMPTY}
-    for s in specs:
-        for comp in s.components:
-            for prim in comp:
-                present.add(prim.code)
+    for _c, _r, _m, ops_set in preps:
+        present.update(ops_set)
     ops_table = tuple(sorted(present))
 
     base_spec = specs[0].padded(C, F)
@@ -919,17 +984,18 @@ def fit_candidates(
     )
     cl_keys = None
     if use_fused:
+        # layout from the unique set (identical key/op universe), routing
+        # rows gathered back out to the full candidate axis
         layout, cl_keys, routing = _fused.build_layout(
-            specs, X_np.shape[1], C, F)
+            uniq_specs, X_np.shape[1], C, F)
         coded = dict(coded, **{
-            k: jnp.asarray(v, dtype=dtype) if v.dtype.kind == "f"
-            else jnp.asarray(v)
+            k: jnp.asarray(v[row_of], dtype=dtype)
+            if v.dtype.kind == "f" else jnp.asarray(v[row_of])
             for k, v in routing.items()})
         config = dataclasses.replace(config, fused_layout=layout)
+    _mark("fused_layout")
 
-    raw_np = np.stack([
-        s.padded(C, F).init_raw_params_np() for s in specs
-    ])
+    raw_np = np.stack([p[1] for p in preps])[row_of]
     if init_raw is not None:
         # warm starts: per-candidate (C_i, F_i, P) overlays in the
         # candidate's own spec order — padding appends EMPTY rows at the
@@ -941,10 +1007,7 @@ def fit_candidates(
             w = np.asarray(w)
             raw_np[i, :w.shape[0], :w.shape[1], :] = w
     raw0 = jnp.asarray(raw_np, dtype=dtype)
-    kmask = jnp.stack([
-        jnp.asarray(np.asarray(s.padded(C, F).train_mask()))
-        for s in specs
-    ])
+    kmask = jnp.asarray(np.stack([p[2] for p in preps])[row_of])
 
     template = jax.tree.map(np.asarray, svgp.init_params(
         config, jnp.asarray(X_np, dtype=dtype),
@@ -984,6 +1047,7 @@ def fit_candidates(
         def _shard(tree):
             return tree
 
+    _mark("stage_data")
     gaussian = config.likelihood.name == "gaussian"
     if gaussian and os.environ.get("WAVEOME_GAUSS_SEG", "1") != "1":
         # one-shot vmapped path (WAVEOME_GAUSS_SEG=0): the whole
@@ -1030,6 +1094,7 @@ def fit_candidates(
             params = dict(params, z=jnp.broadcast_to(
                 data[2]["z"], (n_pad,) + data[2]["z"].shape))
 
+    _mark("dispatch")
     if _prof:
         # per-dispatch profile line (WAVEOME_SEARCH_PROFILE=1): where a
         # search's wall clock goes — padding waste is n_pad/n_cand,
@@ -1059,6 +1124,12 @@ def fit_candidates(
     logliks = np.asarray(logliks)[:n_cand]
     holds = np.asarray(holds)[:n_cand]
     specs = specs[:n_cand]
+    _mark("fetch")
+    if _prof_lvl >= 2:
+        parts = " ".join(
+            f"{lab}={(t1 - t0) * 1e3:.0f}ms" for (_l0, t0), (lab, t1)
+            in zip(_marks, _marks[1:]))
+        print(f"[search-prof2] {parts}", flush=True)
 
     bics = np.empty(n_cand)
     lik = config.likelihood

@@ -482,6 +482,94 @@ def _run_prune(search_dict, depth, X, Y, fit_kwargs, verbose,
             }
 
 
+@lru_cache(maxsize=64)
+def _finalize_fn(config, with_q: bool):
+    """One jitted batched finalize program per config: optionally
+    materialize the collapsed-bound optimal q, then predict the full +
+    every one-cold component mean — ALL winning outcomes of a lockstep
+    search in ONE dispatch (per-outcome `_ensure_q` + R² calls were ~2
+    tunnel round trips × outcomes ≈ 4 s of a 47 s 16-outcome search;
+    search-prof2 receipts, round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import svgp
+
+    def one(params, coded, y, masks, X):
+        if with_q:
+            q_mu, q_sqrt = svgp.optimal_q(config, params, X, y,
+                                          coded=coded)
+            params = dict(params, q_mu=q_mu, q_sqrt_raw=q_sqrt)
+
+        def pred(m):
+            mu, _ = svgp.predict_y(config, params, X, component_mask=m,
+                                   coded=coded)
+            return mu[:, 0]
+
+        return params, jax.vmap(pred)(masks)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+
+
+def _batch_finalize(config, entries, X, Y_cols):
+    """Finalize a group of same-config winners in one device dispatch.
+
+    Returns a list of (host params dict incl. q, var_exp list) matching
+    ``_ensure_q`` + ``_best_model_rsquare`` per entry."""
+    import jax
+    import jax.numpy as jnp
+
+    C = config.num_components
+    F = config.spec.padded().max_factors
+    with_q = all("q_mu" not in e["params"] for e in entries)
+    if not with_q and any("q_mu" not in e["params"] for e in entries):
+        # mixed group (shouldn't happen): per-entry fallback
+        return None
+
+    preps = [e["spec"].padded(C, F).coded_np() for e in entries]
+    keys = set()
+    for p in preps:
+        keys.update(p)
+    ord_default = np.ones((C, F), dtype=np.int32)
+    coded = {k: jnp.asarray(np.stack([p.get(k, ord_default)
+                                      for p in preps]))
+             for k in sorted(keys)}
+    params = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])),
+        *[e["params"] for e in entries])
+    masks_np = np.zeros((len(entries), C + 1, C))
+    for b, e in enumerate(entries):
+        na = e["spec"].num_components
+        masks_np[b, :, :na] = 1.0
+        for i in range(na):
+            masks_np[b, 1 + i, i] = 0.0
+    Yb = jnp.asarray(np.stack([np.asarray(y).reshape(-1, 1)
+                               for y in Y_cols]))
+    pout, mus = _finalize_fn(config, with_q)(
+        params, coded, Yb, jnp.asarray(masks_np), jnp.asarray(X))
+    pout = jax.device_get(pout)
+    mus = np.asarray(mus)
+
+    results = []
+    for b, (e, y) in enumerate(zip(entries, Y_cols)):
+        yv = np.asarray(y).reshape(-1)
+        ymu = mus[b, 0]
+        sse = float(np.sum((yv - yv.mean()) ** 2))
+        ssr = float(np.sum((yv - ymu) ** 2))
+        total = 1.0 - ssr / sse
+        na = e["spec"].num_components
+        if na > 1:
+            ssr_c = np.sum((ymu[None, :] - mus[b, 1:1 + na]) ** 2,
+                           axis=1)
+            shares = total * (1.0 - ssr_c / ssr_c.sum())
+            var_exp = [round(float(x), 3) for x in shares]
+            var_exp.append(round(float(1.0 - total), 3))
+        else:
+            var_exp = [round(total, 3), round(1 - total, 3)]
+        results.append(({k: v[b] for k, v in pout.items()}, var_exp))
+    return results
+
+
 def _ensure_q(entry, X, Y):
     """Materialize the closed-form (q_mu, q_sqrt) for a collapsed-bound
     winner (Gaussian candidate fits return hyperparameters only —
@@ -855,22 +943,43 @@ def multi_outcome_kernel_search(
             break
 
     out: Dict[str, Dict] = {}
+    # batched finalize: group winners by config (= padded shape family)
+    # and run optimal-q + R² predictions for a whole group in one
+    # dispatch instead of ~2 tunnel round trips per outcome
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    best_names: Dict[str, str] = {}
     for o in out_names:
         sd = states[o]["search_dict"]
         if not sd:
             out[o] = {"models": {}, "edges": [], "best_model": None,
                       "best_model_name": None, "var_exp": []}
             continue
-        best_name = min(
+        best_names[o] = min(
             (v["bic"], v["depth"], k) for k, v in sd.items()
         )[2]
-        yb = Ys[:, [col[o]]]
-        entry = sd[best_name] = _ensure_q(sd[best_name], X, yb)
-        out[o] = {
-            "models": {best_name: entry},
-            "edges": states[o]["edges"],
-            "best_model": _make_fitted(entry, best_name),
-            "best_model_name": best_name,
-            "var_exp": _best_model_rsquare(entry, X, yb),
-        }
+        groups[sd[best_names[o]]["config"]].append(o)
+
+    for config, grp in groups.items():
+        entries = [states[o]["search_dict"][best_names[o]] for o in grp]
+        finals = _batch_finalize(config, entries, X,
+                                 [Ys[:, [col[o]]] for o in grp])
+        for i, o in enumerate(grp):
+            sd = states[o]["search_dict"]
+            name = best_names[o]
+            yb = Ys[:, [col[o]]]
+            if finals is None:
+                entry = sd[name] = _ensure_q(sd[name], X, yb)
+                var_exp = _best_model_rsquare(entry, X, yb)
+            else:
+                params_b, var_exp = finals[i]
+                entry = sd[name] = dict(sd[name], params=params_b)
+            out[o] = {
+                "models": {name: entry},
+                "edges": states[o]["edges"],
+                "best_model": _make_fitted(entry, name),
+                "best_model_name": name,
+                "var_exp": var_exp,
+            }
     return out
