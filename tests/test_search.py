@@ -581,6 +581,7 @@ def test_gaussian_segmented_matches_oneshot(monkeypatch, no_cache_writes):
     monkeypatch.setenv("WAVEOME_GAUSS_SEG", "1")
     # small segments + tight buckets force several compaction rounds
     monkeypatch.setattr(eng, "_SEG_ITERS", 30)
+    monkeypatch.setattr(eng, "_GAUSS_SEG_ITERS", 30)
     monkeypatch.setattr(eng, "_COMPACT_BUCKETS", (1, 2, 3, 4, 6, 8))
     seg, _ = fit_candidates(specs, X, Y, **kw)
 

@@ -284,6 +284,14 @@ def _fit_all_fn(config, split: bool, n_fits: int, max_iter: int,
 import os as _os
 
 _SEG_ITERS = int(_os.environ.get("WAVEOME_SEARCH_SEG_ITERS", "100"))
+# Gaussian L-BFGS segments are shorter: candidate fits converge at
+# p50~30-38 iterations (chip receipts, docs/BENCHMARKS.md), so 40-iter
+# segments let the compaction drop ~half the rows after one segment —
+# at 100-iter segments compaction never fired (all fits converge inside
+# the first segment and the rest ride the batch max). The bound is
+# traced data, so this costs no recompiles; narrower compacted widths
+# reuse the existing width-bucket program families.
+_GAUSS_SEG_ITERS = int(_os.environ.get("WAVEOME_GAUSS_SEG_ITERS", "40"))
 
 # Absolute convergence floor for search CANDIDATE fits (adam paths):
 # candidates are ranked on BIC rounded to 2 decimals inside a beam of
@@ -523,6 +531,7 @@ def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
     steppers return (result, carry) and convergence comes from
     ``result.converged``)."""
     first_fn, next_fn, hold_fn = fns
+    seg_iters = _GAUSS_SEG_ITERS
     if mesh is not None:
         from ..parallel import mesh as meshlib
 
@@ -530,7 +539,7 @@ def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
             meshlib.shard_leading_axis(
                 (coded_b, raw_b, kmask_b, keys_b, y_b, randomize), mesh))
     args = (coded_b, raw_b, kmask_b, keys_b, y_b, randomize)
-    bound = min(_SEG_ITERS, total)
+    bound = min(seg_iters, total)
     res, carry = first_fn(coded_b, raw_b, kmask_b, keys_b, y_b,
                           randomize, jnp.asarray(bound), data)
     width = int(raw_b.shape[0])
@@ -556,7 +565,7 @@ def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
         # max_iter=200 with 100-iter segments there is at most ONE
         # segment left to save, which can never repay a fresh compile
         if (_COMPACT and w < len(idx)
-                and total - bound > 2 * _SEG_ITERS):
+                and total - bound > 2 * seg_iters):
             sel = np.concatenate([act, np.repeat(act[:1], w - act.size)])
             # every active master row is in the current batch (done only
             # grows), so gather from the current slots — no master carry
@@ -568,7 +577,7 @@ def _gauss_seg_loop(fns, coded_b, raw_b, kmask_b, keys_b, y_b, randomize,
                 carry = meshlib.shard_leading_axis(carry, mesh)
                 cur_args = meshlib.shard_leading_axis(cur_args, mesh)
             idx = sel
-        bound = min(bound + _SEG_ITERS, total)
+        bound = min(bound + seg_iters, total)
         res, carry = next_fn(carry, *cur_args, jnp.asarray(bound), data)
         res_full = _tree_scatter(res_full, res, jnp.asarray(idx))
     loglik = -res_full.loss
